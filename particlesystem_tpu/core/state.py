@@ -1,0 +1,110 @@
+"""Particle state as a structure-of-arrays pytree.
+
+The reference stores particles as a 72-byte array-of-structs
+(``P_DATA_TYPE``, ``/root/reference/source/code/inc/common.h:94-120``) inside
+a segmented container whose slot index encodes spatial ownership.  On TPU the
+natural layout is a flat SoA of device arrays with a static slot count:
+vectorized loads, XLA fusion across fields, and no id<->segment coupling
+(cells are recomputed from positions each frame).
+
+The reference's snapshot buffer ``T_DATA_TYPE`` (``common.h:122-132``) —
+double-buffering so neighbor reads see the previous frame — is implicit here:
+the step function is pure, so the input state *is* the read-side snapshot.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import EmitterSceneConfig, NBodyConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ParticleState:
+    """SoA particle store with ``slots`` fixed-capacity rows.
+
+    Field map from ``P_DATA_TYPE`` (``common.h:94-120``):
+
+    * ``pos``/``vel``/``acc`` — x,y,z / vx,vy,vz / ax,ay,az, shape ``(N, 3)``
+    * ``w``      — particle weight (gravitational mass)
+    * ``age``    — seconds alive; drives kid/adult/death lifecycle
+    * ``life``   — ``fertility_age`` in the n-body scene; *lifetime* in
+      emitter scenes (death when ``age > life``)
+    * ``alive``  — replaces the reference's ``cell == -1`` dead marker
+      (``app.cu:239-264``) and the free-id queues
+    * ``parent`` — ``is_parent`` reproduction latch (``common.h:103``)
+
+    The slot index doubles as the particle id used in collision ordering
+    (``app_common.cu:293-298``).  ``id``, ``cell``, ``chunk``, ``seg_*`` fields
+    of the reference are derived quantities here, never stored.
+    """
+
+    pos: jax.Array
+    vel: jax.Array
+    acc: jax.Array
+    w: jax.Array
+    age: jax.Array
+    life: jax.Array
+    alive: jax.Array
+    parent: jax.Array
+
+    @property
+    def slots(self) -> int:
+        return self.pos.shape[0]
+
+    @property
+    def num_alive(self) -> jax.Array:
+        return jnp.sum(self.alive.astype(jnp.int32))
+
+
+def zero_state(slots: int, dtype=jnp.float32) -> ParticleState:
+    """All-dead state; matches INIT_PARTICLES semantics
+    (``particleSystem.cpp:703-753``: reset every slot)."""
+    f = lambda *shape: jnp.zeros(shape, dtype)
+    return ParticleState(
+        pos=f(slots, 3),
+        vel=f(slots, 3),
+        acc=f(slots, 3),
+        w=f(slots),
+        age=f(slots),
+        life=f(slots),
+        alive=jnp.zeros((slots,), jnp.bool_),
+        parent=jnp.zeros((slots,), jnp.bool_),
+    )
+
+
+def pack_state(state: ParticleState) -> jax.Array:
+    """Pack hot fields into one ``(8, N)`` f32 array for the fused Pallas
+    step kernel: rows x,y,z,vx,vy,vz,age,life.  Row-major tiles of ``(8,128)``
+    map exactly onto one VPU register tile."""
+    return jnp.stack(
+        [
+            state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
+            state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
+            state.age, state.life,
+        ],
+        axis=0,
+    )
+
+
+def unpack_state(packed: jax.Array, template: Optional[ParticleState] = None) -> ParticleState:
+    """Inverse of :func:`pack_state`; non-packed fields (w, parent, acc) come
+    from ``template`` when given.  ``alive`` is derived as ``age <= life`` and
+    ``life > 0`` (emitter-scene convention)."""
+    n = packed.shape[1]
+    pos = packed[0:3].T
+    vel = packed[3:6].T
+    age = packed[6]
+    life = packed[7]
+    alive = (age <= life) & (life > 0)
+    if template is None:
+        template = zero_state(n)
+    return ParticleState(
+        pos=pos, vel=vel, acc=template.acc, w=template.w,
+        age=age, life=life, alive=alive, parent=template.parent,
+    )
