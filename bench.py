@@ -1,0 +1,125 @@
+"""Benchmark: particle-steps/sec/chip on the fused emitter-scene step.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+North star (BASELINE.md): >= 1e10 particle-steps/sec on one v5e chip at 10M
+particles, fused step HBM-bandwidth-bound.  ``vs_baseline`` is value/1e10.
+
+Scene = BASELINE config 5 shape: multi-emitter, full force stack
+(gravity + wind + drag), ground plane + sphere collider, on-device ring
+recycling.  All slots start alive so the metric counts real particle
+updates.
+
+Measurement method: frames run in device-side ``fori_loop`` batches
+(``step_many``) and sync via a tiny host readback; per-frame time is the
+slope between a short and a long batch, which cancels the dispatch/sync
+latency of the remote-attached TPU (~25 ms per round trip).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from particlesystem_tpu.core.config import (Emitter, EmitterSceneConfig,
+                                            PlaneCollider, SphereCollider)
+from particlesystem_tpu.runtime.engine import PackedEngine
+
+BASELINE_TARGET = 1e10  # particle-steps/sec/chip (BASELINE.json north star)
+
+
+def scene(capacity: int) -> EmitterSceneConfig:
+    return EmitterSceneConfig(
+        capacity=capacity,
+        dt=1.0 / 60.0,
+        gravity=(0.0, -9.8, 0.0),
+        wind=(2.0, 0.0, -0.5),
+        drag=0.2,
+        emitters=(
+            Emitter(pos=(0.0, 1.0, 0.0), direction=(0.0, 1.0, 0.0),
+                    speed=10.0, rate=60_000.0, life_min=20.0, life_max=40.0),
+            Emitter(pos=(5.0, 1.0, 0.0), direction=(-0.2, 1.0, 0.1),
+                    speed=8.0, rate=40_000.0, life_min=20.0, life_max=40.0),
+        ),
+        planes=(PlaneCollider(point=(0, 0, 0), normal=(0, 1, 0),
+                              restitution=0.5, friction=0.2),),
+        spheres=(SphereCollider(center=(2.0, 3.0, 0.0), radius=1.5,
+                                restitution=0.4, friction=0.1),),
+        seed=1,
+    )
+
+
+def full_packed(cfg, key) -> jax.Array:
+    """All slots alive with long lifetimes: the metric counts real updates."""
+    n = cfg.slots
+    ks = jax.random.split(key, 3)
+    pos = jax.random.uniform(ks[0], (3, n), jnp.float32, -20.0, 20.0)
+    vel = jax.random.uniform(ks[1], (3, n), jnp.float32, -5.0, 5.0)
+    life = jax.random.uniform(ks[2], (1, n), jnp.float32, 30.0, 60.0)
+    age = life * 0.1
+    return jnp.concatenate([pos, vel, age, life], axis=0)
+
+
+def _sync(es) -> float:
+    return float(jnp.sum(es.packed[0, :8]))
+
+
+def bench_capacity(capacity: int, k_short: int = 16, k_long: int = 112,
+                   reps: int = 5):
+    cfg = scene(capacity)
+    eng = PackedEngine(cfg, alloc="ring")
+    es = eng.init(full_packed(cfg, jax.random.key(0)))
+
+    # compile both batch sizes
+    es = eng.step_many(es, k_short)
+    es = eng.step_many(es, k_long)
+    _sync(es)
+
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        es = eng.step_many(es, k_short)
+        _sync(es)
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        es = eng.step_many(es, k_long)
+        _sync(es)
+        t_long = time.perf_counter() - t0
+        samples.append((t_long - t_short) / (k_long - k_short))
+    per_frame = float(np.median(samples))
+    assert per_frame > 0, samples
+    alive = int(eng.alive_count(es))
+    return cfg.slots / per_frame, per_frame * 1e3, alive
+
+
+def main():
+    backend = jax.default_backend()
+    if backend != "tpu":
+        print(f"WARNING: benchmarking on {backend}, not TPU", file=sys.stderr)
+
+    rate_1m, p50_1m, alive_1m = bench_capacity(1 << 20)
+    print(f"1M:  {rate_1m:.3e} particle-steps/s  p50 {p50_1m:.3f} ms "
+          f"(alive {alive_1m})", file=sys.stderr)
+    cap_10m = 10 * (1 << 20)
+    rate_10m, p50_10m, alive_10m = bench_capacity(cap_10m)
+    print(f"10M: {rate_10m:.3e} particle-steps/s  p50 {p50_10m:.3f} ms "
+          f"(alive {alive_10m})", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "particle_steps_per_sec_at_10M",
+        "value": round(rate_10m, 1),
+        "unit": "particle-steps/s/chip",
+        "vs_baseline": round(rate_10m / BASELINE_TARGET, 4),
+        "p50_frame_ms_10M": round(p50_10m, 4),
+        "particle_steps_per_sec_at_1M": round(rate_1m, 1),
+        "p50_frame_ms_1M": round(p50_1m, 4),
+        "backend": backend,
+    }))
+
+
+if __name__ == "__main__":
+    main()

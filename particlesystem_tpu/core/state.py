@@ -38,6 +38,12 @@ class ParticleState:
     * ``alive``  — replaces the reference's ``cell == -1`` dead marker
       (``app.cu:239-264``) and the free-id queues
     * ``parent`` — ``is_parent`` reproduction latch (``common.h:103``)
+    * ``tag``    — persistent per-particle identity (uint32) that survives
+      migration across devices; all per-particle randomness is keyed on
+      ``(seed, frame, tag)`` so trajectories are independent of slot
+      placement and device count.  (The reference keys curand on the slot id
+      — ``particleSystemCUDA.cu:45`` — so its randomness changes whenever a
+      particle migrates segments; this fixes that.)
 
     The slot index doubles as the particle id used in collision ordering
     (``app_common.cu:293-298``).  ``id``, ``cell``, ``chunk``, ``seg_*`` fields
@@ -52,6 +58,7 @@ class ParticleState:
     life: jax.Array
     alive: jax.Array
     parent: jax.Array
+    tag: jax.Array
 
     @property
     def slots(self) -> int:
@@ -75,6 +82,7 @@ def zero_state(slots: int, dtype=jnp.float32) -> ParticleState:
         life=f(slots),
         alive=jnp.zeros((slots,), jnp.bool_),
         parent=jnp.zeros((slots,), jnp.bool_),
+        tag=jnp.zeros((slots,), jnp.uint32),
     )
 
 
@@ -107,4 +115,5 @@ def unpack_state(packed: jax.Array, template: Optional[ParticleState] = None) ->
     return ParticleState(
         pos=pos, vel=vel, acc=template.acc, w=template.w,
         age=age, life=life, alive=alive, parent=template.parent,
+        tag=template.tag,
     )

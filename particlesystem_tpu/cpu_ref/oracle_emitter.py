@@ -31,6 +31,7 @@ class NpState:
     life: np.ndarray
     alive: np.ndarray
     parent: np.ndarray
+    tag: np.ndarray
 
     @classmethod
     def from_jax(cls, s):
@@ -99,7 +100,9 @@ def step(s: NpState, spawn_pos, spawn_vel, spawn_life, spawn_w, spawn_valid,
     w[tgt] = spawn_w[src]
     alive1[tgt] = True
     parent[tgt] = False
+    tag = s.tag.copy()
+    tag[tgt] = 0
 
     return NpState(pos=pos.astype(f32), vel=vel.astype(f32),
                    acc=acc.astype(f32), w=w, age=age.astype(f32),
-                   life=life, alive=alive1, parent=parent)
+                   life=life, alive=alive1, parent=parent, tag=tag)

@@ -36,7 +36,8 @@ def wrap_positions_np(pos: np.ndarray, grid):
     return (pos + shift).astype(np.float32), cw
 
 
-def step(s: NpState, uvec: np.ndarray, fert: np.ndarray, cfg: NBodyConfig):
+def step(s: NpState, uvec: np.ndarray, fert: np.ndarray, frame: int,
+         cfg: NBodyConfig):
     f32 = np.float32
     grid = cfg.grid
     g = grid.grid_dim
@@ -138,6 +139,11 @@ def step(s: NpState, uvec: np.ndarray, fert: np.ndarray, cfg: NBodyConfig):
     lifef[tgt] = fert[src]
     w[tgt] = f32(cfg.weight)
     parent[tgt] = False
+    tag = s.tag.copy()
+    # child tag: Knuth multiplicative mix of (parent tag, frame) — rng.tag_mix
+    mixed = (s.tag.astype(np.uint64) * 2654435761
+             + np.uint64(frame) * 2246822519 + 977).astype(np.uint32)
+    tag[tgt] = mixed[src]
     alive_out = alive2.copy()
     alive_out[tgt] = True
 
@@ -150,5 +156,5 @@ def step(s: NpState, uvec: np.ndarray, fert: np.ndarray, cfg: NBodyConfig):
         n_spawned=int(nfit),
     )
     out = NpState(pos=pos, vel=vel, acc=accf, w=w, age=age, life=lifef,
-                  alive=alive_out, parent=parent)
+                  alive=alive_out, parent=parent, tag=tag)
     return out, stats

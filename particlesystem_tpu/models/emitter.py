@@ -150,9 +150,10 @@ def step_core(state: ParticleState, spawn: SpawnRows,
     w = state.w.at[target].set(spawn.w, mode="drop")
     alive1 = alive1.at[target].set(ok, mode="drop")
     parent = state.parent.at[target].set(False, mode="drop")
+    tag = state.tag.at[target].set(0, mode="drop")
 
     return ParticleState(pos=pos, vel=vel, acc=acc, w=w, age=age,
-                         life=life, alive=alive1, parent=parent)
+                         life=life, alive=alive1, parent=parent, tag=tag)
 
 
 def step(state: ParticleState, accum: jax.Array, frame: jax.Array,

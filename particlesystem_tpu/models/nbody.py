@@ -40,8 +40,9 @@ from ..core import rng
 from ..core.config import NBodyConfig
 from ..core.state import ParticleState, zero_state
 from ..ops import compact
-from ..ops.grid import (build_bins, cell_coords, chunk_occupancy,
-                        coords_to_cell, stencil_cells, wrap_positions)
+from ..ops.grid import (build_bins, chunk_occupancy, coords_to_cell,
+                        wrap_positions)
+from ..ops.neighbor import neighbor_pass
 
 
 @jax.tree_util.register_dataclass
@@ -86,114 +87,36 @@ def init_fill(cfg: NBodyConfig, n: int | None = None) -> ParticleState:
         w=padf(jnp.full((n,), cfg.weight, jnp.float32), 1),
         age=padf(age, 1), life=padf(fert, 1),
         alive=padf(jnp.ones((n,), jnp.bool_), 1), parent=s.parent,
+        tag=jnp.arange(cfg.slots, dtype=jnp.uint32),
     )
 
 
 def _neighbor_pass(state: ParticleState, cell_list: jax.Array,
                    cfg: NBodyConfig, batch_cells: int = 64):
-    """Collision flags + gravity over the 27-cell stencil.
-
-    Cell-centric: each cell's <=K residents interact with each neighbor
-    cell's <=K residents as dense (K, K) tiles — the TPU-friendly replacement
-    for the reference's per-particle neighbor lists (``fill_particles``,
-    ``app.cu:442-452``, up to 27*514 gathered ids per particle).
-
-    Returns per-slot (acc(N,3), kill(N,), touch(N,)) where
-    * ``kill``  — exists colliding neighbor with larger slot id
-    * ``touch`` — exists colliding neighbor
-    Both are False and acc == 0 for slots not present in ``cell_list``.
-    """
-    grid = cfg.grid
-    num_cells = grid.num_cells
-    k = cell_list.shape[1]
-    pos0, age0, w0 = state.pos, state.age, state.w
-    kid = jnp.float32(cfg.kid_age)
-    life = jnp.float32(cfg.particle_life)
-    r2 = jnp.float32(cfg.collision_radius) ** 2
-    eps2 = jnp.float32(cfg.eps2)
-
-    def one_cell(c):
-        me = cell_list[c]                       # (K,)
-        me_valid = me >= 0
-        mi = jnp.maximum(me, 0)
-        mpos, mage = pos0[mi], age0[mi]
-        madult = mage >= kid
-        myoung = mage <= life
-
-        g = grid.grid_dim
-        i3 = c // (g * g)
-        rem = c % (g * g)
-        coords = jnp.stack([rem // g, rem % g, i3])
-        ncells, nvalid = stencil_cells(coords, grid)
-
-        acc = jnp.zeros((k, 3), jnp.float32)
-        kill = jnp.zeros((k,), jnp.bool_)
-        touch = jnp.zeros((k,), jnp.bool_)
-        for j in range(27):
-            nb = jnp.where(nvalid[j], cell_list[ncells[j]], -1)  # (K,)
-            nb_ok = nb >= 0
-            ni = jnp.maximum(nb, 0)
-            npos, nage, nw = pos0[ni], age0[ni], w0[ni]
-
-            diff = npos[None, :, :] - mpos[:, None, :]           # (K, K, 3)
-            d2 = jnp.sum(diff * diff, axis=-1)                   # (K, K)
-            pair = me_valid[:, None] & nb_ok[None, :] & (nb[None, :] != me[:, None])
-            adult = madult[:, None] & (nage >= kid)[None, :]
-
-            collide = (pair & adult & (d2 <= r2)
-                       & myoung[:, None] & (nage <= life)[None, :])
-            kill |= jnp.any(collide & (nb[None, :] > me[:, None]), axis=1)
-            touch |= jnp.any(collide, axis=1)
-
-            # bodyBodyInteraction (app_common.cu:236-267):
-            # a += m_j * r_ij / (|r|^2 + EPS2)^(3/2), adults only
-            dd = d2 + eps2
-            s = jnp.where(pair & adult, nw[None, :] / jnp.sqrt(dd * dd * dd), 0.0)
-            acc += jnp.sum(diff * s[:, :, None], axis=1)
-        return me, acc, kill, touch
-
-    cells = jnp.arange(num_cells, dtype=jnp.int32)
-    me_b, acc_b, kill_b, touch_b = jax.lax.map(
-        one_cell, cells, batch_size=min(batch_cells, num_cells))
-
-    n = state.slots
-    me_f = me_b.reshape(-1)
-    tgt = jnp.where(me_f >= 0, me_f, n)
-    acc = jnp.zeros((n, 3), jnp.float32).at[tgt].set(
-        acc_b.reshape(-1, 3), mode="drop")
-    kill = jnp.zeros((n,), jnp.bool_).at[tgt].set(
-        kill_b.reshape(-1), mode="drop")
-    touch = jnp.zeros((n,), jnp.bool_).at[tgt].set(
-        touch_b.reshape(-1), mode="drop")
-    return acc, kill, touch
+    """Collision flags + gravity over the 27-cell stencil (single device:
+    row ids are slot indices).  See ``ops/neighbor.py`` for the core."""
+    g = cfg.grid.grid_dim
+    ids = jnp.arange(state.slots, dtype=jnp.int32)
+    return neighbor_pass(state.pos, state.age, state.w, ids, cell_list,
+                         (g, g, g), cfg, batch_cells=batch_cells)
 
 
-def step_fields(state: ParticleState, uvec: jax.Array, fert: jax.Array,
-                cfg: NBodyConfig) -> Tuple[ParticleState, NBodyStats]:
-    """Deterministic step given per-frame random fields:
-
-    * ``uvec`` (N,3) — explosion unit velocity per would-be parent slot
-    * ``fert`` (N,)  — child fertility-age draw per parent slot
-
-    Mirrored by ``cpu_ref/oracle_nbody.py``; keep in lockstep.
-    """
+def lifecycle_update(state: ParticleState, pos_w: jax.Array,
+                     overflow: jax.Array, acc: jax.Array, kill: jax.Array,
+                     touch: jax.Array, uvec: jax.Array, fert: jax.Array,
+                     frame: jax.Array, cfg: NBodyConfig):
+    """Lifecycle flags + clamped integration + explosion reproduction,
+    given the neighbor-pass results.  Shared between the single-chip step
+    and the per-device body of the slab-sharded step
+    (``parallel/nbody_sharded.py``).  Returns (new_state, counts dict)."""
     grid = cfg.grid
     dt = jnp.float32(cfg.dt)
     n = state.slots
-
-    # --- BUILD_GRID: bin, snapshot, overflow kill ------------------------
-    pos_w, coords = wrap_positions(state.pos, grid)  # stored pos is wrapped; no-op shift
-    cell = coords_to_cell(coords, grid)
-    bins = build_bins(cell, state.alive, grid.num_cells, cfg.cell_capacity)
-    alive1 = state.alive & ~bins.overflow
-
-    # --- CALC_FORCES: neighbor pass on the pre-step snapshot -------------
-    acc, kill, touch = _neighbor_pass(state, bins.cell_list, cfg)
-
+    alive1 = state.alive & ~overflow
     age0 = state.age
     die_age = alive1 & (age0 > cfg.particle_life)
     die_coll = alive1 & ~die_age & kill
-    dead_now = die_age | die_coll | bins.overflow
+    dead_now = die_age | die_coll | overflow
     survive = alive1 & ~die_age & ~die_coll & touch
     normal = alive1 & ~die_age & ~die_coll & ~survive
 
@@ -232,31 +155,66 @@ def step_fields(state: ParticleState, uvec: jax.Array, fert: jax.Array,
     w = w.at[tgt].set(cfg.weight, mode="drop")
     parent = parent.at[tgt].set(False, mode="drop")
     alive_out = alive2.at[tgt].set(True, mode="drop")
+    tagf = state.tag.at[tgt].set(rng.tag_mix(state.tag, frame), mode="drop")
 
     out = ParticleState(pos=pos, vel=vel, acc=accf, w=w, age=age,
-                        life=lifef, alive=alive_out, parent=parent)
-    stats = NBodyStats(
+                        life=lifef, alive=alive_out, parent=parent, tag=tagf)
+    counts = dict(
         n_alive=jnp.sum(alive_out.astype(jnp.int32)),
         n_age_deaths=jnp.sum(die_age.astype(jnp.int32)),
         n_collision_kills=jnp.sum(die_coll.astype(jnp.int32)),
-        n_overflow_kills=jnp.sum(bins.overflow.astype(jnp.int32)),
+        n_overflow_kills=jnp.sum(overflow.astype(jnp.int32)),
         n_survivals=jnp.sum(survive.astype(jnp.int32)),
         n_spawned=jnp.sum(ok.astype(jnp.int32)),
+    )
+    return out, counts
+
+
+def step_fields(state: ParticleState, uvec: jax.Array, fert: jax.Array,
+                frame: jax.Array,
+                cfg: NBodyConfig) -> Tuple[ParticleState, NBodyStats]:
+    """Deterministic step given per-frame random fields:
+
+    * ``uvec`` (N,3) — explosion unit velocity per slot (keyed by the slot's
+      particle tag, so placement-independent)
+    * ``fert`` (N,)  — child fertility-age draw per parent slot (same keying)
+
+    ``frame`` enters only through child tag assignment.
+    Mirrored by ``cpu_ref/oracle_nbody.py``; keep in lockstep.
+    """
+    grid = cfg.grid
+
+    # --- BUILD_GRID: bin, snapshot, overflow kill ------------------------
+    pos_w, coords = wrap_positions(state.pos, grid)  # stored pos is wrapped; no-op shift
+    cell = coords_to_cell(coords, grid)
+    bins = build_bins(cell, state.alive, grid.num_cells, cfg.cell_capacity)
+
+    # --- CALC_FORCES: neighbor pass on the pre-step snapshot -------------
+    acc, kill, touch = _neighbor_pass(state, bins.cell_list, cfg)
+
+    out, counts = lifecycle_update(state, pos_w, bins.overflow, acc, kill,
+                                   touch, uvec, fert, frame, cfg)
+    alive1 = state.alive & ~bins.overflow
+    stats = NBodyStats(
         max_cell_occupancy=bins.max_cell_occupancy,
         max_chunk_occupancy=jnp.max(chunk_occupancy(bins.cell_of, alive1, grid)),
+        **counts,
     )
     return out, stats
 
 
-def frame_fields(cfg: NBodyConfig, frame: jax.Array, n: int):
-    uvec = rng.random_unit_vectors(rng.frame_key(cfg.seed, frame, rng.UVEC), n)
-    fert = rng.uniform(rng.frame_key(cfg.seed, frame, rng.FERT), (n,),
-                       cfg.min_fertility_age, cfg.max_fertility_age)
+def frame_fields(cfg: NBodyConfig, frame: jax.Array, tags: jax.Array):
+    """Per-slot random fields keyed by each slot's particle tag — identical
+    for a given particle regardless of slot or device placement."""
+    uvec = rng.per_tag_unit_vectors(rng.frame_key(cfg.seed, frame, rng.UVEC),
+                                    tags)
+    fert = rng.per_tag_uniform(rng.frame_key(cfg.seed, frame, rng.FERT), tags,
+                               cfg.min_fertility_age, cfg.max_fertility_age)
     return uvec, fert
 
 
 @partial(jax.jit, static_argnums=2)
 def step(state: ParticleState, frame: jax.Array, cfg: NBodyConfig):
     """Full frame: per-frame random fields + physics."""
-    uvec, fert = frame_fields(cfg, frame, state.slots)
-    return step_fields(state, uvec, fert, cfg)
+    uvec, fert = frame_fields(cfg, frame, state.tag)
+    return step_fields(state, uvec, fert, frame, cfg)

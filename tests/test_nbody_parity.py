@@ -37,14 +37,14 @@ def run_parity(cfg, n_frames):
     events = {k: 0 for k in ("n_collision_kills", "n_age_deaths",
                              "n_survivals", "n_spawned", "n_overflow_kills")}
 
-    fields = jax.jit(lambda f: nbody.frame_fields(cfg, f, cfg.slots))
-    step = jax.jit(lambda s, u, ft: nbody.step_fields(s, u, ft, cfg))
+    fields = jax.jit(lambda f, t: nbody.frame_fields(cfg, f, t))
+    step = jax.jit(lambda s, u, ft, f: nbody.step_fields(s, u, ft, f, cfg))
 
     for frame in range(n_frames):
-        uvec, fert = fields(jnp.int32(frame))
-        state, stats = step(state, uvec, fert)
+        uvec, fert = fields(jnp.int32(frame), state.tag)
+        state, stats = step(state, uvec, fert, jnp.int32(frame))
         ora, ostats = oracle_nbody.step(
-            ora, np.asarray(uvec), np.asarray(fert), cfg)
+            ora, np.asarray(uvec), np.asarray(fert), frame, cfg)
 
         for k, v in ostats.items():
             assert int(getattr(stats, k)) == v, (
