@@ -53,19 +53,19 @@ def scene(capacity: int) -> EmitterSceneConfig:
     )
 
 
-def full_packed(cfg, key) -> jax.Array:
+def full_packed(cfg, key):
     """All slots alive with long lifetimes: the metric counts real updates."""
     n = cfg.slots
     ks = jax.random.split(key, 3)
     pos = jax.random.uniform(ks[0], (3, n), jnp.float32, -20.0, 20.0)
     vel = jax.random.uniform(ks[1], (3, n), jnp.float32, -5.0, 5.0)
-    life = jax.random.uniform(ks[2], (1, n), jnp.float32, 30.0, 60.0)
+    life = jax.random.uniform(ks[2], (n,), jnp.float32, 30.0, 60.0)
     age = life * 0.1
-    return jnp.concatenate([pos, vel, age, life], axis=0)
+    return (pos[0], pos[1], pos[2], vel[0], vel[1], vel[2], age, life)
 
 
 def _sync(es) -> float:
-    return float(jnp.sum(es.packed[0, :8]))
+    return float(jnp.sum(es.fields[0][:8]))
 
 
 def bench_capacity(capacity: int, k_short: int = 16, k_long: int = 112,

@@ -1,0 +1,185 @@
+"""User-facing API.
+
+``ParticleSystem`` is the emitter-scene engine (scene/state API of the
+BASELINE configs: emitter params, force list, dt, particle capacity) and
+``NBodySimulation`` is the reference simulation driver (the equivalent of
+``DoParallelProcess``, ``/root/reference/source/code/src/particleSystem.cpp:1733-1986``,
+with per-phase timing but no per-frame host syncs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.config import (Emitter, EmitterSceneConfig, NBodyConfig,
+                          PlaneCollider, SphereCollider)
+from .models import nbody
+from .runtime import checkpoint
+from .runtime.engine import PackedEngine
+from .runtime.readback import AsyncReadback
+from .utils.timers import PhaseTimers
+
+
+class ParticleSystem:
+    """Builder + runner for emitter scenes.
+
+    >>> ps = (ParticleSystem(capacity=1_000_000, dt=1/60, gravity=(0,-9.8,0))
+    ...       .add_emitter(pos=(0, 1, 0), rate=100_000, speed=9.0)
+    ...       .add_plane(restitution=0.5, friction=0.2))
+    >>> ps.step(600)
+    >>> xyz = ps.positions()
+
+    The first ``step()`` freezes the scene and compiles the fused kernel;
+    adding emitters/colliders afterwards raises.
+    """
+
+    def __init__(self, capacity: int = 1 << 20, dt: float = 1 / 60,
+                 gravity=(0.0, -9.8, 0.0), wind=(0.0, 0.0, 0.0),
+                 drag: float = 0.0, seed: int = 1, alloc: str = "ring",
+                 refresh_interval: int = 1):
+        self._base = dict(capacity=capacity, dt=dt, gravity=tuple(gravity),
+                          wind=tuple(wind), drag=drag, seed=seed)
+        self._emitters = []
+        self._planes = []
+        self._spheres = []
+        self._alloc = alloc
+        self._refresh = refresh_interval
+        self._engine: Optional[PackedEngine] = None
+        self._es = None
+        self.timers = PhaseTimers()
+        self._readback: Optional[AsyncReadback] = None
+
+    # -- scene construction -------------------------------------------------
+    def add_emitter(self, **kw) -> "ParticleSystem":
+        self._mutable()
+        self._emitters.append(Emitter(**kw))
+        return self
+
+    def add_plane(self, **kw) -> "ParticleSystem":
+        self._mutable()
+        self._planes.append(PlaneCollider(**kw))
+        return self
+
+    def add_sphere(self, **kw) -> "ParticleSystem":
+        self._mutable()
+        self._spheres.append(SphereCollider(**kw))
+        return self
+
+    def _mutable(self):
+        if self._engine is not None:
+            raise RuntimeError("scene is frozen after the first step()")
+
+    @property
+    def config(self) -> EmitterSceneConfig:
+        return EmitterSceneConfig(emitters=tuple(self._emitters),
+                                  planes=tuple(self._planes),
+                                  spheres=tuple(self._spheres), **self._base)
+
+    def _ensure(self):
+        if self._engine is None:
+            self._engine = PackedEngine(self.config, alloc=self._alloc,
+                                        refresh_interval=self._refresh)
+            self._es = self._engine.init()
+
+    # -- simulation ----------------------------------------------------------
+    def step(self, n: int = 1) -> "ParticleSystem":
+        self._ensure()
+        with self.timers.phase("step"):
+            if n > 1:
+                self._es = self._engine.step_many(self._es, n)
+            else:
+                self._es = self._engine.step(self._es)
+        if self._readback is not None:
+            with self.timers.phase("readback"):
+                self._readback.publish(self.packed())
+        return self
+
+    @property
+    def frame(self) -> int:
+        return 0 if self._es is None else int(self._es.frame)
+
+    # -- state access ----------------------------------------------------------
+    def packed(self) -> jax.Array:
+        """Device (8, capacity) packed state: x,y,z,vx,vy,vz,age,life."""
+        self._ensure()
+        n = self._engine.cfg.slots
+        return jnp.stack([f[:n] for f in self._es.fields])
+
+    def alive_mask(self) -> np.ndarray:
+        p = np.asarray(self.packed())
+        return (p[6] <= p[7]) & (p[7] > 0)
+
+    def positions(self, alive_only: bool = True) -> np.ndarray:
+        p = np.asarray(self.packed())
+        xyz = p[0:3].T
+        return xyz[self.alive_mask()] if alive_only else xyz
+
+    def alive_count(self) -> int:
+        self._ensure()
+        return int(self._engine.alive_count(self._es))
+
+    def fade(self) -> np.ndarray:
+        """Per-particle alpha 1 - age/life (alive rows)."""
+        p = np.asarray(self.packed())
+        m = self.alive_mask()
+        return 1.0 - p[6][m] / p[7][m]
+
+    # -- render-loop readback -------------------------------------------------
+    def enable_readback(self, depth: int = 3) -> AsyncReadback:
+        self._ensure()
+        frame_bytes = 8 * self._engine.cfg.slots * 4
+        self._readback = AsyncReadback(frame_bytes, depth)
+        return self._readback
+
+    # -- persistence ------------------------------------------------------------
+    def save(self, path: str) -> None:
+        self._ensure()
+        checkpoint.save(path, self._es,
+                        meta=checkpoint.config_fingerprint(self.config))
+
+    def load(self, path: str) -> "ParticleSystem":
+        self._ensure()
+        self._es, _ = checkpoint.load(path, self._es)
+        return self
+
+
+class NBodySimulation:
+    """Driver for the reference simulation — the ``DoParallelProcess``
+    equivalent: initial uniform fill, then N iterations of the fused step,
+    with per-phase timing and on-device stats (the reference's printf
+    timings, ``particleSystem.cpp:1927``)."""
+
+    def __init__(self, cfg: NBodyConfig = NBodyConfig()):
+        self.cfg = cfg
+        self.timers = PhaseTimers()
+        with self.timers.phase("fill"):
+            self.state = nbody.init_fill(cfg)
+        self.frame = 0
+        self.last_stats = None
+
+    def run(self, num_iterations: int = 10, verbose: bool = False):
+        for _ in range(num_iterations):
+            with self.timers.phase("step"):
+                self.state, stats = nbody.step(self.state, jnp.int32(self.frame),
+                                               self.cfg)
+            self.frame += 1
+            self.last_stats = stats
+            if verbose:
+                print(f"iter {self.frame}: alive={int(stats.n_alive)} "
+                      f"spawned={int(stats.n_spawned)} "
+                      f"max_cell={int(stats.max_cell_occupancy)}")
+        return self.last_stats
+
+    def save(self, path: str) -> None:
+        checkpoint.save(path, self.state,
+                        meta=dict(frame=self.frame,
+                                  **checkpoint.config_fingerprint(self.cfg)))
+
+    def load(self, path: str) -> None:
+        self.state, meta = checkpoint.load(path, self.state)
+        self.frame = int(meta.get("frame", 0))

@@ -86,27 +86,24 @@ def zero_state(slots: int, dtype=jnp.float32) -> ParticleState:
     )
 
 
-def pack_state(state: ParticleState) -> jax.Array:
-    """Pack hot fields into one ``(8, N)`` f32 array for the fused Pallas
-    step kernel: rows x,y,z,vx,vy,vz,age,life.  Row-major tiles of ``(8,128)``
-    map exactly onto one VPU register tile."""
-    return jnp.stack(
-        [
-            state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
-            state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
-            state.age, state.life,
-        ],
-        axis=0,
+def pack_state(state: ParticleState):
+    """Pack hot fields into eight separate contiguous ``(N,)`` f32 arrays
+    (x, y, z, vx, vy, vz, age, life) — the layout the fused step streams at
+    full HBM bandwidth (see ``ops/fused_step.py``)."""
+    return (
+        state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
+        state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
+        state.age, state.life,
     )
 
 
-def unpack_state(packed: jax.Array, template: Optional[ParticleState] = None) -> ParticleState:
-    """Inverse of :func:`pack_state`; non-packed fields (w, parent, acc) come
-    from ``template`` when given.  ``alive`` is derived as ``age <= life`` and
-    ``life > 0`` (emitter-scene convention)."""
-    n = packed.shape[1]
-    pos = packed[0:3].T
-    vel = packed[3:6].T
+def unpack_state(packed, template: Optional[ParticleState] = None) -> ParticleState:
+    """Inverse of :func:`pack_state`; non-packed fields (w, parent, acc, tag)
+    come from ``template`` when given.  ``alive`` is derived as
+    ``age <= life`` and ``life > 0`` (emitter-scene convention)."""
+    n = packed[0].shape[0]
+    pos = jnp.stack(packed[0:3], axis=1)
+    vel = jnp.stack(packed[3:6], axis=1)
     age = packed[6]
     life = packed[7]
     alive = (age <= life) & (life > 0)

@@ -1,0 +1,179 @@
+"""Fused physics step over separate per-field arrays — the hot path.
+
+State layout: ``fields = (x, y, z, vx, vy, vz, age, life)``, eight separate
+contiguous ``(N,)`` f32 arrays.  Measured on a v5e chip at 10M particles,
+XLA's own fusion streams this at ~860 GB/s (1.3e10 particle-steps/s) —
+3x faster than the same math as a hand-written Pallas kernel over (8, BLOCK)
+tiles and 6x faster than a single (8, N) packed array, whose row-strided
+DMA caps at ~130 GB/s.  Elementwise streaming is exactly what the XLA
+fusion engine is best at; Pallas is reserved for the patterns XLA cannot
+express (see ``ops/pallas_step.py``, kept for comparison benchmarks).
+
+Physics semantics identical to ``models/emitter.step_core`` /
+``ops/pallas_step._step_kernel`` — forces (gravity/wind/drag), semi-implicit
+Euler, plane/sphere contact response, aging, dead-row freeze.
+
+Recycling: ``ring_spawn`` (O(S) ring allocator with a shadow region) and
+``refresh_free_list``/``spawn_exact`` (exact dead-slot compaction) — the TPU
+replacements for the reference's per-segment free-id queues
+(``/root/reference/source/code/inc/app_common.cu:305-429``).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import EmitterSceneConfig
+
+Fields = Tuple[jax.Array, ...]  # x, y, z, vx, vy, vz, age, life
+
+
+def zero_fields(n: int) -> Fields:
+    return tuple(jnp.zeros((n,), jnp.float32) for _ in range(8))
+
+
+def physics_step(fields: Fields, cfg: EmitterSceneConfig) -> Fields:
+    """One physics frame; dead rows (age > life or life <= 0) are frozen."""
+    x, y, z, vx, vy, vz, age, life = fields
+    dt = jnp.float32(cfg.dt)
+    alive = (age <= life) & (life > 0)
+
+    gx, gy, gz = (jnp.float32(v) for v in cfg.gravity)
+    if cfg.drag:
+        k = jnp.float32(cfg.drag)
+        wx, wy, wz = (jnp.float32(v) for v in cfg.wind)
+        ax, ay, az = gx + (wx - vx) * k, gy + (wy - vy) * k, gz + (wz - vz) * k
+    else:
+        ax, ay, az = gx, gy, gz
+
+    vx1, vy1, vz1 = vx + ax * dt, vy + ay * dt, vz + az * dt
+    x1, y1, z1 = x + vx1 * dt, y + vy1 * dt, z + vz1 * dt
+
+    for pl_ in cfg.planes:
+        n = np.asarray(pl_.normal, np.float32)
+        n = n / np.linalg.norm(n)
+        nx, ny, nz = (jnp.float32(v) for v in n)
+        px, py, pz = (jnp.float32(v) for v in pl_.point)
+        d = (x1 - px) * nx + (y1 - py) * ny + (z1 - pz) * nz
+        contact = d < 0
+        x1 = jnp.where(contact, x1 - nx * d, x1)
+        y1 = jnp.where(contact, y1 - ny * d, y1)
+        z1 = jnp.where(contact, z1 - nz * d, z1)
+        vn = vx1 * nx + vy1 * ny + vz1 * nz
+        inb = contact & (vn < 0)
+        e = jnp.float32(pl_.restitution)
+        mu1 = jnp.float32(1.0 - pl_.friction)
+        vx1 = jnp.where(inb, (vx1 - nx * vn) * mu1 - nx * vn * e, vx1)
+        vy1 = jnp.where(inb, (vy1 - ny * vn) * mu1 - ny * vn * e, vy1)
+        vz1 = jnp.where(inb, (vz1 - nz * vn) * mu1 - nz * vn * e, vz1)
+
+    for sp in cfg.spheres:
+        cx, cy, cz = (jnp.float32(v) for v in sp.center)
+        dxx, dyy, dzz = x1 - cx, y1 - cy, z1 - cz
+        dist = jnp.sqrt(dxx * dxx + dyy * dyy + dzz * dzz)
+        safe = jnp.maximum(dist, jnp.float32(1e-20))
+        nx, ny, nz = dxx / safe, dyy / safe, dzz / safe
+        depth = jnp.float32(sp.radius) - dist
+        contact = depth > 0
+        x1 = jnp.where(contact, x1 + nx * depth, x1)
+        y1 = jnp.where(contact, y1 + ny * depth, y1)
+        z1 = jnp.where(contact, z1 + nz * depth, z1)
+        vn = vx1 * nx + vy1 * ny + vz1 * nz
+        inb = contact & (vn < 0)
+        e = jnp.float32(sp.restitution)
+        mu1 = jnp.float32(1.0 - sp.friction)
+        vx1 = jnp.where(inb, (vx1 - nx * vn) * mu1 - nx * vn * e, vx1)
+        vy1 = jnp.where(inb, (vy1 - ny * vn) * mu1 - ny * vn * e, vy1)
+        vz1 = jnp.where(inb, (vz1 - nz * vn) * mu1 - nz * vn * e, vz1)
+
+    return (jnp.where(alive, x1, x), jnp.where(alive, y1, y),
+            jnp.where(alive, z1, z), jnp.where(alive, vx1, vx),
+            jnp.where(alive, vy1, vy), jnp.where(alive, vz1, vz),
+            jnp.where(alive, age + dt, age), life)
+
+
+# ---------------------------------------------------------------------------
+# recycling
+# ---------------------------------------------------------------------------
+
+
+def dead_mask(fields: Fields) -> jax.Array:
+    age, life = fields[6], fields[7]
+    return (age > life) | (life <= 0)
+
+
+def refresh_free_list(fields: Fields, list_size: int):
+    """Extract up to ``list_size`` dead-slot indices, ascending (cumsum
+    compaction).  Returns (free_list padded with N, n_free)."""
+    n = fields[0].shape[0]
+    dead = dead_mask(fields)
+    rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
+    tgt = jnp.where(dead & (rank < list_size), rank, list_size)
+    fl = jnp.full((list_size,), n, jnp.int32).at[tgt].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True)
+    n_free = jnp.minimum(jnp.sum(dead.astype(jnp.int32)), list_size)
+    return fl, n_free
+
+
+def spawn_exact(fields: Fields, rows: Fields, valid: jax.Array,
+                free_list: jax.Array, cursor: jax.Array, n_free: jax.Array):
+    """Scatter spawn rows into free-list slots through ``cursor``.  Exact
+    dead-slot-ascending semantics (matches ``models/emitter.step_core``)."""
+    n = fields[0].shape[0]
+    lsize = free_list.shape[0]
+    req_rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    ok = valid & (cursor + req_rank < n_free)
+    tgt = free_list[jnp.clip(cursor + req_rank, 0, lsize - 1)]
+    tgt = jnp.where(ok, tgt, n)
+    out = tuple(f.at[tgt].set(r, mode="drop", unique_indices=True)
+                for f, r in zip(fields, rows))
+    return out, cursor + jnp.sum(ok.astype(jnp.int32))
+
+
+def ring_spawn(fields: Fields, rows: Fields, valid: jax.Array,
+               cursor: jax.Array, n_real: int):
+    """Ring-buffer spawn: O(S) per frame, zero O(N) traffic.
+
+    Each field has ``n_real + S`` entries; the trailing S form a shadow
+    scratch region so the contiguous window write never needs a dynamic
+    width.  Valid rows are compacted to a prefix, written at the cursor; the
+    part that crossed the end is folded onto the head; the shadow is cleared
+    (a stale copy would keep ghost particles alive).  Slots are reused in
+    spawn order — oldest spawns are replaced when the scene saturates.
+    """
+    s = rows[0].shape[0]
+    assert fields[0].shape[0] == n_real + s, (fields[0].shape, n_real, s)
+    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    nv = jnp.sum(valid.astype(jnp.int32))
+    compact_tgt = jnp.where(valid, rank, s)
+    col = jnp.arange(s, dtype=jnp.int32)
+    wrapped = cursor + nv - n_real
+
+    out = []
+    for f, r in zip(fields, rows):
+        rc = jnp.zeros((s,), jnp.float32).at[compact_tgt].set(
+            r, mode="drop", unique_indices=True)
+        window = jax.lax.dynamic_slice(f, (cursor,), (s,))
+        window = jnp.where(col < nv, rc, window)
+        f = jax.lax.dynamic_update_slice(f, window, (cursor,))
+        shadow = jax.lax.dynamic_slice(f, (n_real,), (s,))
+        head = jax.lax.dynamic_slice(f, (0,), (s,))
+        head = jnp.where(col < wrapped, shadow, head)
+        f = jax.lax.dynamic_update_slice(f, head, (0,))
+        f = jax.lax.dynamic_update_slice(f, jnp.zeros((s,), jnp.float32),
+                                         (n_real,))
+        out.append(f)
+    return tuple(out), (cursor + nv) % n_real
+
+
+def pack_spawn_rows(spawn) -> Fields:
+    """SpawnRows -> 8 per-field (S,) arrays (w is not carried on the packed
+    path: emitter-scene forces are per-unit-mass)."""
+    s = spawn.pos.shape[0]
+    return (spawn.pos[:, 0], spawn.pos[:, 1], spawn.pos[:, 2],
+            spawn.vel[:, 0], spawn.vel[:, 1], spawn.vel[:, 2],
+            jnp.zeros((s,), jnp.float32), spawn.life)

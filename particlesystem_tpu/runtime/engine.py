@@ -1,33 +1,39 @@
 """Packed-state frame engine: the production sim loop for emitter scenes.
 
-One jitted function per frame — spawn-row generation, the fused Pallas
-physics kernel, recycling bookkeeping and spawn writes — with zero host
-round trips (the reference reads ``gridmax`` back every frame,
+One jitted function per frame — spawn-row generation, the fused physics
+step, recycling bookkeeping and spawn writes — with zero host round trips
+(the reference reads ``gridmax`` back every frame,
 ``particleSystem.cpp:1900``; here even the recycling bookkeeping stays on
 device).
+
+State is eight separate ``(N,)`` f32 field arrays (x, y, z, vx, vy, vz, age,
+life) — the layout XLA streams at full HBM bandwidth (~860 GB/s measured at
+10M on v5e; see ``ops/fused_step.py`` for the layout study).
 
 Two allocation policies (``alloc=``):
 
 * ``"exact"`` — dead slots ascending, refreshed every ``refresh_interval``
   frames by cumsum compaction.  ``refresh_interval=1`` reproduces
-  ``models/emitter.step_core`` bit-for-bit (the parity tests rely on it);
-  larger K amortizes the O(N) compaction with <=K frames recycling latency.
+  ``models/emitter.step_core`` (the parity tests rely on it); larger K
+  amortizes the O(N) compaction with <=K frames recycling latency.
 * ``"ring"`` — slots reused in spawn order through a ring cursor; O(S) per
-  frame with no O(N) bookkeeping at all.  The production/bench default:
-  at 10M particles the exact policy's compaction would dominate the frame.
+  frame with no O(N) bookkeeping at all.  The production/bench default.
+
+Two physics kernels (``kernel=``): ``"xla"`` (default, fastest) and
+``"pallas"`` (comparison / kernel scaffold).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..core.config import EmitterSceneConfig
 from ..models import emitter as em
-from ..ops import pallas_step as ps
+from ..ops import fused_step as fs
 
 
 def _round_up(x: int, m: int) -> int:
@@ -37,68 +43,90 @@ def _round_up(x: int, m: int) -> int:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class EngineState:
-    packed: jax.Array      # (8, N [+ shadow]) f32
+    fields: Tuple[jax.Array, ...]  # 8 x (N [+ shadow],) f32
     accum: jax.Array       # (n_emitters,) f32 fractional spawn credit
     free_list: jax.Array   # (L,) int32 dead slots, padded with N (exact mode)
     cursor: jax.Array      # scalar int32: consumed entries / ring position
     n_free: jax.Array      # scalar int32: valid free-list entries
     frame: jax.Array       # scalar int32
 
+    @property
+    def packed(self) -> jax.Array:
+        """(8, N) stacked view for readback/inspection (copies)."""
+        return jnp.stack(self.fields)
+
 
 class PackedEngine:
-    """Frame loop over packed (8, N) state."""
+    """Frame loop over per-field SoA state."""
 
     def __init__(self, cfg: EmitterSceneConfig, refresh_interval: int = 1,
-                 free_list_size: Optional[int] = None, alloc: str = "exact"):
+                 free_list_size: Optional[int] = None, alloc: str = "exact",
+                 kernel: str = "xla"):
         if alloc not in ("exact", "ring"):
             raise ValueError(f"unknown alloc policy {alloc!r}")
+        if kernel not in ("xla", "pallas"):
+            raise ValueError(f"unknown kernel {kernel!r}")
         self.cfg = cfg
         self.alloc = alloc
+        self.kernel = kernel
         self.refresh_interval = int(refresh_interval)
         budget = cfg.max_spawn_per_step * self.refresh_interval
         self.free_list_size = int(free_list_size or max(1024, 4 * budget))
         # ring mode: shadow region sized to the (padded) spawn budget
-        self.shadow = _round_up(cfg.max_spawn_per_step, 1024) if alloc == "ring" else 0
-        self.total_cols = cfg.slots + self.shadow
+        self.shadow = (_round_up(cfg.max_spawn_per_step, 1024)
+                       if alloc == "ring" else 0)
+        self.total = cfg.slots + self.shadow
         self._step = jax.jit(self._frame, donate_argnums=0)
         self._step_many = {}
 
-    def init(self, packed: Optional[jax.Array] = None) -> EngineState:
+    # ------------------------------------------------------------------
+    def init(self, fields: Optional[Tuple[jax.Array, ...]] = None
+             ) -> EngineState:
         n = self.cfg.slots
-        if packed is None:
-            packed = jnp.zeros((8, n), jnp.float32)
-        if packed.shape == (8, n) and self.shadow:
-            packed = jnp.concatenate(
-                [packed, jnp.zeros((8, self.shadow), jnp.float32)], axis=1)
-        assert packed.shape == (8, self.total_cols), packed.shape
-        fl, n_free = ps.refresh_free_list(packed, self.free_list_size)
+        if fields is None:
+            fields = fs.zero_fields(n)
+        if fields[0].shape[0] == n and self.shadow:
+            pad = jnp.zeros((self.shadow,), jnp.float32)
+            fields = tuple(jnp.concatenate([f, pad]) for f in fields)
+        else:
+            # defensive copy: step() donates its input, and caller-provided
+            # fields may alias caller arrays (e.g. pack_state views)
+            fields = tuple(jnp.array(f) for f in fields)
+        assert fields[0].shape[0] == self.total, fields[0].shape
+        fl, n_free = fs.refresh_free_list(fields, self.free_list_size)
         return EngineState(
-            packed=packed,
+            fields=tuple(fields),
             accum=jnp.zeros((max(1, len(self.cfg.emitters)),), jnp.float32),
             free_list=fl, cursor=jnp.int32(0), n_free=n_free,
             frame=jnp.int32(0),
         )
 
     # ------------------------------------------------------------------
+    def _physics(self, fields):
+        if self.kernel == "pallas":
+            from ..ops.pallas_step import physics_step_pallas
+            return physics_step_pallas(fields, self.cfg)
+        return fs.physics_step(fields, self.cfg)
+
     def _frame(self, s: EngineState) -> EngineState:
         cfg = self.cfg
         spawn, accum = em.spawn_fields(cfg, s.frame, s.accum)
-        packed = ps.fused_step(s.packed, cfg)
-        rows = ps.pack_spawn_rows(spawn)
+        fields = self._physics(s.fields)
+        rows = fs.pack_spawn_rows(spawn)
 
         if self.alloc == "ring":
-            pad = self.shadow - rows.shape[1]
+            pad = self.shadow - rows[0].shape[0]
             if pad:
-                rows = jnp.pad(rows, ((0, 0), (0, pad)))
+                rows = tuple(jnp.pad(r, (0, pad)) for r in rows)
                 valid = jnp.pad(spawn.valid, (0, pad))
             else:
                 valid = spawn.valid
-            packed, cursor = ps.ring_spawn(packed, rows, valid, s.cursor,
+            fields, cursor = fs.ring_spawn(fields, rows, valid, s.cursor,
                                            cfg.slots)
             free_list, n_free = s.free_list, s.n_free
         else:
             def refresh(_):
-                fl, nf = ps.refresh_free_list(packed, self.free_list_size)
+                fl, nf = fs.refresh_free_list(fields, self.free_list_size)
                 return fl, nf, jnp.int32(0)
 
             def keep(_):
@@ -106,10 +134,10 @@ class PackedEngine:
 
             do = (s.frame % self.refresh_interval) == 0
             free_list, n_free, cursor = jax.lax.cond(do, refresh, keep, None)
-            packed, cursor = ps.spawn_packed(packed, rows, spawn.valid,
-                                             free_list, cursor, n_free)
+            fields, cursor = fs.spawn_exact(fields, rows, spawn.valid,
+                                            free_list, cursor, n_free)
 
-        return EngineState(packed=packed, accum=accum, free_list=free_list,
+        return EngineState(fields=fields, accum=accum, free_list=free_list,
                            cursor=cursor, n_free=n_free, frame=s.frame + 1)
 
     # ------------------------------------------------------------------
@@ -128,6 +156,6 @@ class PackedEngine:
         return self._step_many[k](s)
 
     def alive_count(self, s: EngineState) -> jax.Array:
-        age = s.packed[6, : self.cfg.slots]
-        life = s.packed[7, : self.cfg.slots]
+        age = s.fields[6][: self.cfg.slots]
+        life = s.fields[7][: self.cfg.slots]
         return jnp.sum(((age <= life) & (life > 0)).astype(jnp.int32))

@@ -14,6 +14,7 @@ import numpy as np
 from particlesystem_tpu import Emitter, EmitterSceneConfig, PlaneCollider, SphereCollider
 from particlesystem_tpu.core.state import ParticleState, pack_state, zero_state
 from particlesystem_tpu.models import emitter as em
+from particlesystem_tpu.ops import fused_step as fs
 from particlesystem_tpu.ops import pallas_step as ps
 from particlesystem_tpu.runtime.engine import PackedEngine
 
@@ -41,21 +42,36 @@ def random_state(key, n):
                                alive=alive)
 
 
-def test_kernel_matches_xla_step():
-    state = random_state(jax.random.key(0), CFG.slots)
-    packed = pack_state(state)
-
-    out_packed = ps.fused_step(packed, CFG)
-
+def _ref_step(state):
     spawn = em.SpawnRows(
         pos=jnp.zeros((1, 3)), vel=jnp.zeros((1, 3)),
         life=jnp.zeros((1,)), w=jnp.zeros((1,)),
         valid=jnp.zeros((1,), jnp.bool_))
-    ref = em.step_core(state, spawn, CFG)
-    ref_packed = pack_state(ref)
+    return pack_state(em.step_core(state, spawn, CFG))
 
-    np.testing.assert_allclose(np.asarray(out_packed), np.asarray(ref_packed),
-                               rtol=1e-5, atol=1e-5)
+
+def test_xla_kernel_matches_step_core():
+    state = random_state(jax.random.key(0), CFG.slots)
+    out = fs.physics_step(pack_state(state), CFG)
+    ref = _ref_step(state)
+    for got, want, name in zip(out, ref, "x y z vx vy vz age life".split()):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+def test_pallas_kernel_matches_step_core():
+    # pallas path needs slots % (8*4096) == 0
+    n = 8 * 4096
+    state = random_state(jax.random.key(0), n)
+    out = ps.physics_step_pallas(pack_state(state), CFG)
+    spawn = em.SpawnRows(
+        pos=jnp.zeros((1, 3)), vel=jnp.zeros((1, 3)),
+        life=jnp.zeros((1,)), w=jnp.zeros((1,)),
+        valid=jnp.zeros((1,), jnp.bool_))
+    ref = pack_state(em.step_core(state, spawn, CFG))
+    for got, want, name in zip(out, ref, "x y z vx vy vz age life".split()):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
 
 
 def test_engine_matches_step_core_with_refresh_1():
@@ -73,7 +89,7 @@ def test_engine_matches_step_core_with_refresh_1():
         spawn, accum = gen(accum, jnp.int32(frame))
         state = core(state, spawn)
 
-        ref = np.asarray(pack_state(state))
+        ref = np.stack([np.asarray(f) for f in pack_state(state)])
         got = np.asarray(es.packed)
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4,
                                    err_msg=f"frame {frame}")
@@ -96,12 +112,13 @@ def test_ring_engine_matches_exact_as_multiset():
         state = core(state, spawn)
 
     def alive_sorted(packed):
-        age, life = np.asarray(packed[6]), np.asarray(packed[7])
+        arr = np.stack([np.asarray(f) for f in packed])
+        age, life = arr[6], arr[7]
         alive = (age <= life) & (life > 0)
-        rows = np.asarray(packed)[:, alive]
+        rows = arr[:, alive]
         return rows[:, np.lexsort(rows)]
 
-    ring = alive_sorted(es.packed[:, : CFG.slots])
+    ring = alive_sorted(tuple(f[: CFG.slots] for f in es.fields))
     ref = alive_sorted(pack_state(state))
     assert ring.shape == ref.shape
     np.testing.assert_allclose(ring, ref, rtol=1e-5, atol=1e-5)
@@ -115,8 +132,8 @@ def test_ring_engine_saturation_replaces_oldest():
     es = eng.init()
     for _ in range(10):
         es = eng.step(es)
-    age = np.asarray(es.packed[6, :cfg.slots])
-    life = np.asarray(es.packed[7, :cfg.slots])
+    age = np.asarray(es.fields[6][:cfg.slots])
+    life = np.asarray(es.fields[7][:cfg.slots])
     alive = (age <= life) & (life > 0)
     assert alive.sum() == cfg.slots      # saturated: every slot live
     assert age.max() < 10 * cfg.dt + 1e-5  # oldest were replaced, not kept

@@ -1,0 +1,114 @@
+"""Runtime subsystems: API, checkpoint/resume, async readback ring, timers,
+native library bindings."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from particlesystem_tpu.api import NBodySimulation, ParticleSystem
+from particlesystem_tpu.core.config import GridSpec, NBodyConfig
+from particlesystem_tpu.runtime import checkpoint
+from particlesystem_tpu.runtime.readback import AsyncReadback, FrameRing
+from particlesystem_tpu.utils import native
+from particlesystem_tpu.utils.timers import PhaseTimers
+
+
+def test_particle_system_api(tmp_path):
+    ps = (ParticleSystem(capacity=4096, dt=1 / 60, gravity=(0, -9.8, 0),
+                         drag=0.3, wind=(1.0, 0, 0))
+          .add_emitter(pos=(0.0, 1.0, 0.0), rate=20_000.0, speed=8.0,
+                       life_min=0.5, life_max=1.0)
+          .add_plane(restitution=0.5, friction=0.2))
+    ps.step(30)
+    assert ps.frame == 30
+    n = ps.alive_count()
+    assert 0 < n <= 4096
+    xyz = ps.positions()
+    assert xyz.shape == (n, 3)
+    assert xyz[:, 1].min() >= -1e-3     # ground plane holds
+    fade = ps.fade()
+    assert np.all((fade >= 0) & (fade <= 1.0 + 1e-6))
+
+    with pytest.raises(RuntimeError):
+        ps.add_emitter(rate=1.0)        # frozen after first step
+
+    # checkpoint round trip
+    path = str(tmp_path / "ck.npz")
+    ps.save(path)
+    before = np.asarray(ps.packed())
+    ps.step(5)
+    ps.load(path)
+    np.testing.assert_array_equal(np.asarray(ps.packed()), before)
+
+
+def test_nbody_simulation_driver(tmp_path):
+    cfg = NBodyConfig(n_fill=500, capacity=2048,
+                      grid=GridSpec(grid_dim=8, chunk_factor=2),
+                      particle_life=2.0, seed=5)
+    sim = NBodySimulation(cfg)
+    stats = sim.run(5)
+    assert int(stats.n_alive) > 0
+    assert sim.frame == 5
+    path = str(tmp_path / "nb.npz")
+    sim.save(path)
+    sim.run(3)
+    sim.load(path)
+    assert sim.frame == 5
+    assert "step" in sim.timers.summary()
+
+
+def test_checkpoint_shape_mismatch(tmp_path):
+    a = {"x": jnp.zeros((4,)), "y": jnp.ones((2, 2))}
+    path = str(tmp_path / "c.npz")
+    checkpoint.save(path, a, meta={"k": 1})
+    out, meta = checkpoint.load(path, a)
+    assert meta == {"k": 1}
+    np.testing.assert_array_equal(np.asarray(out["y"]), np.ones((2, 2)))
+    with pytest.raises(ValueError):
+        checkpoint.load(path, {"x": jnp.zeros((5,)), "y": jnp.ones((2, 2))})
+
+
+def test_frame_ring_spsc():
+    ring = FrameRing(frame_bytes=16 * 4, depth=2)
+    a = np.arange(16, dtype=np.float32)
+    assert ring.push(a)
+    assert ring.push(a * 2)
+    assert not ring.push(a * 3)         # full -> dropped
+    assert ring.fill() == 2
+    out = ring.pop((16,))
+    np.testing.assert_array_equal(out, a)
+    out = ring.pop((16,))
+    np.testing.assert_array_equal(out, a * 2)
+    assert ring.pop((16,)) is None      # empty
+
+
+def test_async_readback_drops_when_consumer_behind():
+    rb = AsyncReadback(frame_bytes=8 * 4, depth=1)
+    for i in range(5):
+        rb.publish(jnp.full((8,), float(i)))
+    rb.flush()
+    assert rb.published + rb.dropped == 5
+    assert rb.published >= 1
+    frame = rb.ring.pop((8,))
+    assert frame is not None
+
+
+def test_native_library_builds():
+    """The C++ runtime must actually build and load in this environment."""
+    assert native.has_native(), "libpsnative.so failed to build/load"
+    lib = native.get_lib()
+    t0 = lib.ps_now()
+    assert lib.ps_now() >= t0
+
+
+def test_timers():
+    t = PhaseTimers()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    s = t.summary()
+    assert s["a"]["count"] == 2
+    assert "a:" in t.report()
