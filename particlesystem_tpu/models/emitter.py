@@ -66,12 +66,13 @@ def _basis(direction) -> np.ndarray:
 
 
 def spawn_fields(cfg: EmitterSceneConfig, frame: jax.Array,
-                 accum: jax.Array) -> Tuple[SpawnRows, jax.Array]:
+                 accum: jax.Array, salt=0) -> Tuple[SpawnRows, jax.Array]:
     """Generate this frame's spawn rows and the updated fractional-rate
-    accumulators (one float per emitter)."""
+    accumulators (one float per emitter).  ``salt`` decorrelates parallel
+    streams (e.g. the device index under data-parallel sharding)."""
     rows_pos, rows_vel, rows_life, rows_w, rows_valid = [], [], [], [], []
     new_accum = []
-    base = rng.frame_key(cfg.seed, frame, rng.EMIT)
+    base = jax.random.fold_in(rng.frame_key(cfg.seed, frame, rng.EMIT), salt)
     for ei, e in enumerate(cfg.emitters):
         s = emitter_budget(e, cfg.dt)
         key = jax.random.fold_in(base, ei)

@@ -1,0 +1,103 @@
+"""Data-parallel emitter engine over a device mesh.
+
+Emitter scenes have no pairwise interactions, so scaling out is pure data
+parallelism (SURVEY.md §2.5: the reference's analog is its 64-fragment init
+split and 8-subtask waves).  Each device runs an independent shard of the
+particle pool with its share of every emitter's rate and a decorrelated
+RNG stream (device index folded into the spawn keys); no collectives are
+needed inside the step — global stats reduce with ``psum`` on demand.
+
+Capacity and spawn rates scale linearly with the mesh: D chips simulate
+D times the particles at the single-chip frame time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import EmitterSceneConfig
+from ..runtime.engine import EngineState, PackedEngine
+
+
+def _local_cfg(cfg: EmitterSceneConfig, d: int) -> EmitterSceneConfig:
+    """Per-device scene: capacity and emitter rates divided by D."""
+    emitters = tuple(dataclasses.replace(e, rate=e.rate / d)
+                     for e in cfg.emitters)
+    return dataclasses.replace(cfg, capacity=cfg.capacity // d,
+                               emitters=emitters)
+
+
+class ShardedEmitterEngine:
+    """DP-sharded :class:`PackedEngine`.
+
+    State layout: field arrays are global ``(D * local,)`` sharded on the
+    mesh axis; the small per-device bookkeeping (accum, free list, cursor,
+    frame) carries an explicit leading device axis.
+    """
+
+    def __init__(self, cfg: EmitterSceneConfig, mesh: Mesh,
+                 alloc: str = "ring", refresh_interval: int = 1):
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.d = mesh.devices.size
+        self.cfg = cfg
+        self.local = PackedEngine(_local_cfg(cfg, self.d), alloc=alloc,
+                                  refresh_interval=refresh_interval)
+
+        ax = self.axis
+        state_spec = EngineState(
+            fields=tuple([P(ax)] * 8), accum=P(ax), free_list=P(ax),
+            cursor=P(ax), n_free=P(ax), frame=P(ax))
+
+        def device_frame(s: EngineState) -> EngineState:
+            salt = jax.lax.axis_index(ax)
+            local = EngineState(
+                fields=s.fields, accum=s.accum[0], free_list=s.free_list[0],
+                cursor=s.cursor[0], n_free=s.n_free[0], frame=s.frame[0])
+            out = self.local._frame(local, salt)
+            return EngineState(
+                fields=out.fields, accum=out.accum[None],
+                free_list=out.free_list[None], cursor=out.cursor[None],
+                n_free=out.n_free[None], frame=out.frame[None])
+
+        self._step = jax.jit(shard_map(
+            device_frame, mesh=mesh, in_specs=(state_spec,),
+            out_specs=state_spec, check_vma=False), donate_argnums=0)
+
+    def init(self) -> EngineState:
+        d = self.d
+        ls = self.local.init()
+        rep = lambda a: jnp.broadcast_to(a[None], (d,) + a.shape)
+        tile = lambda f: jnp.tile(f, d)
+        state = EngineState(
+            fields=tuple(tile(f) for f in ls.fields),
+            accum=rep(ls.accum), free_list=rep(ls.free_list),
+            cursor=rep(ls.cursor), n_free=rep(ls.n_free), frame=rep(ls.frame))
+        shard = lambda spec: NamedSharding(self.mesh, spec)
+        return EngineState(
+            fields=tuple(jax.device_put(f, shard(P(self.axis)))
+                         for f in state.fields),
+            accum=jax.device_put(state.accum, shard(P(self.axis))),
+            free_list=jax.device_put(state.free_list, shard(P(self.axis))),
+            cursor=jax.device_put(state.cursor, shard(P(self.axis))),
+            n_free=jax.device_put(state.n_free, shard(P(self.axis))),
+            frame=jax.device_put(state.frame, shard(P(self.axis))),
+        )
+
+    def step(self, s: EngineState) -> EngineState:
+        return self._step(s)
+
+    def alive_count(self, s: EngineState) -> int:
+        n_local = self.local.cfg.slots
+        total = self.local.total
+        count = 0
+        for dev in range(self.d):
+            age = s.fields[6][dev * total: dev * total + n_local]
+            life = s.fields[7][dev * total: dev * total + n_local]
+            count += int(jnp.sum(((age <= life) & (life > 0)).astype(jnp.int32)))
+        return count

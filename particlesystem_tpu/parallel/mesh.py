@@ -1,0 +1,42 @@
+"""Device mesh helpers + multi-host initialization.
+
+The reference's launcher is ``mpirun -n 2 --hostfile mpi-hosts``
+(``/root/reference/makefile:3-4``); the TPU-native equivalent is
+``jax.distributed.initialize`` (once per host) and a ``jax.sharding.Mesh``
+over the global device list.  Single-host/single-chip runs need neither —
+these helpers degrade gracefully.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def maybe_init_distributed() -> bool:
+    """Initialize jax.distributed when launched under a multi-host
+    coordinator (env-driven, mirrors the mpirun hostfile role).  Returns
+    True when running multi-host."""
+    coord = os.environ.get("PSTPU_COORDINATOR")
+    if not coord:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(os.environ["PSTPU_NUM_PROCESSES"]),
+        process_id=int(os.environ["PSTPU_PROCESS_ID"]),
+    )
+    return True
+
+
+def mesh_1d(n_devices: Optional[int] = None, axis: str = "x") -> Mesh:
+    """1D mesh over the first ``n_devices`` devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(f"need {n_devices} devices, have {len(devs)}")
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))

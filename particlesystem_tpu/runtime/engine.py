@@ -108,9 +108,9 @@ class PackedEngine:
             return physics_step_pallas(fields, self.cfg)
         return fs.physics_step(fields, self.cfg)
 
-    def _frame(self, s: EngineState) -> EngineState:
+    def _frame(self, s: EngineState, salt=0) -> EngineState:
         cfg = self.cfg
-        spawn, accum = em.spawn_fields(cfg, s.frame, s.accum)
+        spawn, accum = em.spawn_fields(cfg, s.frame, s.accum, salt)
         fields = self._physics(s.fields)
         rows = fs.pack_spawn_rows(spawn)
 
