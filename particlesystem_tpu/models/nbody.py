@@ -57,6 +57,7 @@ class NBodyStats:
     n_overflow_kills: jax.Array
     n_survivals: jax.Array
     n_spawned: jax.Array
+    n_listed_dropped: jax.Array
     max_cell_occupancy: jax.Array
     max_chunk_occupancy: jax.Array
 
@@ -171,8 +172,8 @@ def lifecycle_update(state: ParticleState, pos_w: jax.Array,
 
 
 def step_fields(state: ParticleState, uvec: jax.Array, fert: jax.Array,
-                frame: jax.Array,
-                cfg: NBodyConfig) -> Tuple[ParticleState, NBodyStats]:
+                frame: jax.Array, cfg: NBodyConfig,
+                list_width: int = 0) -> Tuple[ParticleState, NBodyStats]:
     """Deterministic step given per-frame random fields:
 
     * ``uvec`` (N,3) — explosion unit velocity per slot (keyed by the slot's
@@ -187,7 +188,8 @@ def step_fields(state: ParticleState, uvec: jax.Array, fert: jax.Array,
     # --- BUILD_GRID: bin, snapshot, overflow kill ------------------------
     pos_w, coords = wrap_positions(state.pos, grid)  # stored pos is wrapped; no-op shift
     cell = coords_to_cell(coords, grid)
-    bins = build_bins(cell, state.alive, grid.num_cells, cfg.cell_capacity)
+    bins = build_bins(cell, state.alive, grid.num_cells, cfg.cell_capacity,
+                      list_width=list_width)
 
     # --- CALC_FORCES: neighbor pass on the pre-step snapshot -------------
     acc, kill, touch = _neighbor_pass(state, bins.cell_list, cfg)
@@ -196,6 +198,7 @@ def step_fields(state: ParticleState, uvec: jax.Array, fert: jax.Array,
                                    touch, uvec, fert, frame, cfg)
     alive1 = state.alive & ~bins.overflow
     stats = NBodyStats(
+        n_listed_dropped=bins.n_listed_dropped,
         max_cell_occupancy=bins.max_cell_occupancy,
         max_chunk_occupancy=jnp.max(chunk_occupancy(bins.cell_of, alive1, grid)),
         **counts,
@@ -213,8 +216,14 @@ def frame_fields(cfg: NBodyConfig, frame: jax.Array, tags: jax.Array):
     return uvec, fert
 
 
-@partial(jax.jit, static_argnums=2)
-def step(state: ParticleState, frame: jax.Array, cfg: NBodyConfig):
-    """Full frame: per-frame random fields + physics."""
+@partial(jax.jit, static_argnums=(2, 3))
+def step(state: ParticleState, frame: jax.Array, cfg: NBodyConfig,
+         list_width: int = 0):
+    """Full frame: per-frame random fields + physics.
+
+    ``list_width`` (static) narrows the padded neighbor lists — the dense
+    pass costs O(width^2); size it from the previous frame's
+    ``max_cell_occupancy`` (see ``api.NBodySimulation``) and keep
+    ``stats.n_listed_dropped == 0``."""
     uvec, fert = frame_fields(cfg, frame, state.tag)
-    return step_fields(state, uvec, fert, frame, cfg)
+    return step_fields(state, uvec, fert, frame, cfg, list_width)

@@ -82,11 +82,25 @@ class GridBins(NamedTuple):
     overflow: jax.Array
     cell_of: jax.Array
     max_cell_occupancy: jax.Array
+    n_listed_dropped: jax.Array
 
 
 def build_bins(cell_of: jax.Array, alive: jax.Array, num_cells: int,
-               cell_capacity: int) -> GridBins:
-    """Sort-based grid build.  ``cell_of`` must already be in [0, num_cells)."""
+               cell_capacity: int, list_width: int = 0) -> GridBins:
+    """Sort-based grid build.  ``cell_of`` must already be in [0, num_cells).
+
+    ``list_width`` (default = ``cell_capacity``) narrows the padded cell
+    lists for the neighbor pass: the dense pass costs O(width^2) per cell
+    pair, and actual occupancy is usually far below the kill cap (the
+    reference reads ``gridmax`` back each frame to size its launches,
+    ``particleSystem.cpp:1900`` — this is the same adaptivity).  Kill
+    semantics are unchanged (``overflow`` is still rank >= cell_capacity);
+    rows with rank in [list_width, cell_capacity) are *dropped from the
+    lists* for this frame and counted in ``n_listed_dropped`` — callers keep
+    that zero by sizing ``list_width`` from the previous frame's
+    ``max_cell_occupancy`` with margin.
+    """
+    width = min(list_width or cell_capacity, cell_capacity)
     n = cell_of.shape[0]
     slot = jnp.arange(n, dtype=jnp.int32)
     key = jnp.where(alive, cell_of, num_cells).astype(jnp.int32)
@@ -99,23 +113,29 @@ def build_bins(cell_of: jax.Array, alive: jax.Array, num_cells: int,
                              jnp.cumsum(counts_all)])[:-1]
     rank_sorted = slot - start[sorted_key].astype(jnp.int32)
 
-    in_cap = (rank_sorted < cell_capacity) & (sorted_key < num_cells)
-    flat = jnp.where(in_cap, sorted_key * cell_capacity + rank_sorted,
-                     num_cells * cell_capacity)
-    cell_list = jnp.full((num_cells * cell_capacity,), -1, jnp.int32)
-    cell_list = cell_list.at[flat].set(order, mode="drop")
-    cell_list = cell_list.reshape(num_cells, cell_capacity)
+    in_list = (rank_sorted < width) & (sorted_key < num_cells)
+    flat = jnp.where(in_list, sorted_key * width + rank_sorted,
+                     num_cells * width)
+    cell_list = jnp.full((num_cells * width,), -1, jnp.int32)
+    cell_list = cell_list.at[flat].set(order, mode="drop",
+                                       unique_indices=True)
+    cell_list = cell_list.reshape(num_cells, width)
 
-    overflow_sorted = (~in_cap) & (sorted_key < num_cells)
+    overflow_sorted = ((rank_sorted >= cell_capacity)
+                       & (sorted_key < num_cells))
     overflow = jnp.zeros((n,), jnp.bool_).at[order].set(overflow_sorted)
 
     live_counts = counts_all[:num_cells]
+    n_listed_dropped = jnp.sum(
+        ((rank_sorted >= width) & (rank_sorted < cell_capacity)
+         & (sorted_key < num_cells)).astype(jnp.int32))
     return GridBins(
         cell_list=cell_list,
-        counts=jnp.minimum(live_counts, cell_capacity).astype(jnp.int32),
+        counts=jnp.minimum(live_counts, width).astype(jnp.int32),
         overflow=overflow,
         cell_of=key,
         max_cell_occupancy=jnp.max(live_counts).astype(jnp.int32),
+        n_listed_dropped=n_listed_dropped,
     )
 
 

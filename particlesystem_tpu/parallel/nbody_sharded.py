@@ -208,6 +208,7 @@ def make_sharded_step(cfg: NBodyConfig, spec: SlabSpec, mesh: Mesh):
         stats = {k: psum(v) for k, v in counts.items()}
         stats["n_alive"] = psum(jnp.sum(state3.alive.astype(jnp.int32)))
         stats["halo_dropped"] = psum(ldrop + rdrop)
+        stats["n_listed_dropped"] = psum(bins.n_listed_dropped)
         stats["migration_dropped"] = psum(mig_dropped)
         stats["max_cell_occupancy"] = jax.lax.pmax(bins.max_cell_occupancy, ax)
         return state3, stats
