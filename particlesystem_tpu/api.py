@@ -157,9 +157,10 @@ class NBodySimulation:
     BUCKETS = (64, 128, 192, 256, 384, 512, 768, 1024)
 
     def __init__(self, cfg: NBodyConfig = NBodyConfig(),
-                 adaptive_width: bool = True):
+                 adaptive_width: bool = True, impl: str = "blocks"):
         self.cfg = cfg
-        self.adaptive_width = adaptive_width
+        self.impl = impl
+        self.adaptive_width = adaptive_width and impl == "dense"
         self.timers = PhaseTimers()
         with self.timers.phase("fill"):
             self.state = nbody.init_fill(cfg)
@@ -184,7 +185,8 @@ class NBodySimulation:
         for _ in range(num_iterations):
             with self.timers.phase("step"):
                 self.state, stats = nbody.step(
-                    self.state, jnp.int32(self.frame), self.cfg, self._width)
+                    self.state, jnp.int32(self.frame), self.cfg, self._width,
+                    self.impl)
             self.frame += 1
             self.last_stats = stats
             if int(stats.n_listed_dropped):

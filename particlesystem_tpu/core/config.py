@@ -107,6 +107,7 @@ class NBodyConfig:
     explosion_speed: float = 3.0
 
     seed: int = 1
+    spawn_budget: int = 0      # 0 -> derived: max children per frame
 
     # --- derived lifecycle ages (common.h:59-63) -------------------------
     @property
@@ -141,6 +142,17 @@ class NBodyConfig:
         if self.capacity:
             return self.capacity
         return _round_up(self.n_fill * self.x_factor, 1024)
+
+    @property
+    def max_spawns_per_frame(self) -> int:
+        """Static cap on explosion children per frame.  Keeps the spawn
+        scatter small (a scatter with N update rows costs ~45 ms at 2M slots
+        on v5e regardless of how few rows actually write).  The reference
+        has no such cap, but spawns are bounded by free-slot availability
+        there too; the numpy oracle applies the same cap so parity holds."""
+        if self.spawn_budget:
+            return self.spawn_budget
+        return max(1024, self.slots // 32)
 
     @property
     def cell_capacity(self) -> int:

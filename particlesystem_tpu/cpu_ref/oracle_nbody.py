@@ -130,7 +130,7 @@ def step(s: NpState, uvec: np.ndarray, fert: np.ndarray, frame: int,
 
     free = np.flatnonzero(~alive2)
     parents = np.flatnonzero(explode)
-    nfit = min(len(free), len(parents))
+    nfit = min(len(free), len(parents), cfg.max_spawns_per_frame)
     tgt, src = free[:nfit], parents[:nfit]
     pos[tgt] = pos[src]
     vel[tgt] = -evel[src]

@@ -146,17 +146,32 @@ def lifecycle_update(state: ParticleState, pos_w: jax.Array,
     evel = uvec * jnp.float32(cfg.explosion_speed)
     vel = jnp.where(explode[:, None], evel, vel)
 
-    target, ok = compact.allocate(alive2, explode)
-    tgt = jnp.where(ok, target, n)
-    pos = pos.at[tgt].set(pos, mode="drop")          # child at parent's new pos
-    vel = vel.at[tgt].set(-evel, mode="drop")
-    accf = accf.at[tgt].set(0.0, mode="drop")
-    age = age.at[tgt].set(0.0, mode="drop")
-    lifef = lifef.at[tgt].set(fert, mode="drop")
-    w = w.at[tgt].set(cfg.weight, mode="drop")
-    parent = parent.at[tgt].set(False, mode="drop")
-    alive_out = alive2.at[tgt].set(True, mode="drop")
-    tagf = state.tag.at[tgt].set(rng.tag_mix(state.tag, frame), mode="drop")
+    # Children: compact requests and free slots to a static budget first so
+    # every scatter has only E update rows (an N-row scatter costs ~45 ms at
+    # 2M slots on v5e even when almost all rows drop).  Ascending parents
+    # meet ascending free slots, as before; children beyond the per-frame
+    # budget are dropped (mirrored by the oracle).
+    e = min(cfg.max_spawns_per_frame, n)
+    slot_idx = jnp.arange(n, dtype=jnp.int32)
+    free_sorted, n_free = compact.free_slots_ascending(alive2)
+    req_sorted = jnp.sort(jnp.where(explode, slot_idx, n))
+    n_child = jnp.sum(explode.astype(jnp.int32))
+    k = jnp.minimum(jnp.minimum(n_child, n_free), e)
+    ok_row = jnp.arange(e, dtype=jnp.int32) < k
+    parents = req_sorted[:e]
+    tgt = jnp.where(ok_row, free_sorted[:e], n)
+    src = jnp.clip(parents, 0, n - 1)
+
+    st = lambda a, v: a.at[tgt].set(v, mode="drop", unique_indices=True)
+    pos = st(pos, pos[src])          # child at parent's new pos
+    vel = st(vel, -evel[src])
+    accf = st(accf, 0.0)
+    age = st(age, 0.0)
+    lifef = st(lifef, fert[src])
+    w = st(w, cfg.weight)
+    parent = st(parent, False)
+    alive_out = st(alive2, True)
+    tagf = st(state.tag, rng.tag_mix(state.tag[src], frame))
 
     out = ParticleState(pos=pos, vel=vel, acc=accf, w=w, age=age,
                         life=lifef, alive=alive_out, parent=parent, tag=tagf)
@@ -166,14 +181,15 @@ def lifecycle_update(state: ParticleState, pos_w: jax.Array,
         n_collision_kills=jnp.sum(die_coll.astype(jnp.int32)),
         n_overflow_kills=jnp.sum(overflow.astype(jnp.int32)),
         n_survivals=jnp.sum(survive.astype(jnp.int32)),
-        n_spawned=jnp.sum(ok.astype(jnp.int32)),
+        n_spawned=k,
     )
     return out, counts
 
 
 def step_fields(state: ParticleState, uvec: jax.Array, fert: jax.Array,
                 frame: jax.Array, cfg: NBodyConfig,
-                list_width: int = 0) -> Tuple[ParticleState, NBodyStats]:
+                list_width: int = 0,
+                impl: str = "dense") -> Tuple[ParticleState, NBodyStats]:
     """Deterministic step given per-frame random fields:
 
     * ``uvec`` (N,3) — explosion unit velocity per slot (keyed by the slot's
@@ -188,19 +204,31 @@ def step_fields(state: ParticleState, uvec: jax.Array, fert: jax.Array,
     # --- BUILD_GRID: bin, snapshot, overflow kill ------------------------
     pos_w, coords = wrap_positions(state.pos, grid)  # stored pos is wrapped; no-op shift
     cell = coords_to_cell(coords, grid)
-    bins = build_bins(cell, state.alive, grid.num_cells, cfg.cell_capacity,
-                      list_width=list_width)
 
     # --- CALC_FORCES: neighbor pass on the pre-step snapshot -------------
-    acc, kill, touch = _neighbor_pass(state, bins.cell_list, cfg)
+    if impl == "blocks":
+        # cluster-pair Pallas kernel: no cell lists, work scales with live
+        # particles (ops/neighbor_blocks.py)
+        from ..ops.neighbor_blocks import neighbor_pass_blocks
+        acc, kill, touch, overflow, max_occ = neighbor_pass_blocks(
+            state.pos, state.age, state.w, cell, state.alive, cfg)
+        listed_dropped = jnp.int32(0)
+    else:
+        bins = build_bins(cell, state.alive, grid.num_cells,
+                          cfg.cell_capacity, list_width=list_width)
+        acc, kill, touch = _neighbor_pass(state, bins.cell_list, cfg)
+        overflow = bins.overflow
+        max_occ = bins.max_cell_occupancy
+        listed_dropped = bins.n_listed_dropped
 
-    out, counts = lifecycle_update(state, pos_w, bins.overflow, acc, kill,
+    out, counts = lifecycle_update(state, pos_w, overflow, acc, kill,
                                    touch, uvec, fert, frame, cfg)
-    alive1 = state.alive & ~bins.overflow
+    alive1 = state.alive & ~overflow
+    cell_key = jnp.where(state.alive, cell, grid.num_cells).astype(jnp.int32)
     stats = NBodyStats(
-        n_listed_dropped=bins.n_listed_dropped,
-        max_cell_occupancy=bins.max_cell_occupancy,
-        max_chunk_occupancy=jnp.max(chunk_occupancy(bins.cell_of, alive1, grid)),
+        n_listed_dropped=listed_dropped,
+        max_cell_occupancy=max_occ,
+        max_chunk_occupancy=jnp.max(chunk_occupancy(cell_key, alive1, grid)),
         **counts,
     )
     return out, stats
@@ -216,14 +244,16 @@ def frame_fields(cfg: NBodyConfig, frame: jax.Array, tags: jax.Array):
     return uvec, fert
 
 
-@partial(jax.jit, static_argnums=(2, 3))
+@partial(jax.jit, static_argnums=(2, 3, 4))
 def step(state: ParticleState, frame: jax.Array, cfg: NBodyConfig,
-         list_width: int = 0):
+         list_width: int = 0, impl: str = "dense"):
     """Full frame: per-frame random fields + physics.
 
-    ``list_width`` (static) narrows the padded neighbor lists — the dense
-    pass costs O(width^2); size it from the previous frame's
+    ``impl="blocks"`` uses the cluster-pair Pallas kernel (fastest; work
+    scales with live particles).  ``impl="dense"`` is the XLA cell-pair
+    pass; its ``list_width`` (static) narrows the padded neighbor lists —
+    cost is O(width^2), so size it from the previous frame's
     ``max_cell_occupancy`` (see ``api.NBodySimulation``) and keep
     ``stats.n_listed_dropped == 0``."""
     uvec, fert = frame_fields(cfg, frame, state.tag)
-    return step_fields(state, uvec, fert, frame, cfg, list_width)
+    return step_fields(state, uvec, fert, frame, cfg, list_width, impl)

@@ -1,0 +1,89 @@
+"""Cluster-pair Pallas kernel vs the dense cell-pair pass.
+
+Flags (kill/touch/overflow) must match EXACTLY; accelerations to float
+tolerance.  The small-kernel configuration (B=32, CH=128) forces
+multi-chunk ranges and blocks that cross i1-row and i3-plane boundaries —
+the regression for the range-construction bug where coordinate-window
+fallbacks exploded past the chunk budget and silently dropped
+interactions for box-edge particles.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import particlesystem_tpu.ops.neighbor_blocks as nbk
+from particlesystem_tpu import GridSpec, NBodyConfig
+from particlesystem_tpu.models import nbody
+from particlesystem_tpu.ops.grid import build_bins, coords_to_cell, wrap_positions
+from particlesystem_tpu.ops.neighbor import neighbor_pass
+
+CONFIGS = {
+    "dense-g4": NBodyConfig(n_fill=1500, capacity=2048,
+                            grid=GridSpec(grid_dim=4, chunk_factor=2),
+                            max_per_cell=48, seed=3),
+    "sparse-g16": NBodyConfig(n_fill=800, capacity=1024,
+                              grid=GridSpec(grid_dim=16),
+                              particle_life=2.0, seed=7),
+    "mid-g8": NBodyConfig(n_fill=6000, capacity=8192,
+                          grid=GridSpec(grid_dim=8, chunk_factor=2),
+                          seed=13),
+}
+
+
+def compare(cfg, frames=2):
+    state = nbody.init_fill(cfg)
+    for f in range(frames):
+        state, _ = nbody.step(state, jnp.int32(f), cfg)
+    pos_w, coords = wrap_positions(state.pos, cfg.grid)
+    cell = coords_to_cell(coords, cfg.grid)
+    bins = build_bins(cell, state.alive, cfg.grid.num_cells,
+                      cfg.cell_capacity)
+    ids = jnp.arange(state.slots, dtype=jnp.int32)
+    g = cfg.grid.grid_dim
+    acc_d, kill_d, touch_d = neighbor_pass(
+        state.pos, state.age, state.w, ids, bins.cell_list, (g, g, g), cfg,
+        batch_cells=64)
+    acc_b, kill_b, touch_b, ovf, _ = nbk.neighbor_pass_blocks(
+        state.pos, state.age, state.w, cell, state.alive, cfg)
+    dropped = int(nbk.prepare(state.pos, state.age, state.w, cell,
+                              state.alive, cfg)[-1])
+
+    assert dropped == 0
+    np.testing.assert_array_equal(np.asarray(ovf), np.asarray(bins.overflow))
+    np.testing.assert_array_equal(np.asarray(kill_b), np.asarray(kill_d))
+    np.testing.assert_array_equal(np.asarray(touch_b), np.asarray(touch_d))
+    scale = max(1.0, float(np.abs(np.asarray(acc_d)).max()))
+    err = np.abs(np.asarray(acc_b) - np.asarray(acc_d)).max() / scale
+    assert err < 1e-5, err
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_blocks_matches_dense(name):
+    compare(CONFIGS[name])
+
+
+def test_blocks_multichunk_plane_crossings(monkeypatch):
+    """Small kernel tiles force multi-chunk ranges and row/plane-crossing
+    blocks at modest particle counts (the box-edge regression)."""
+    monkeypatch.setattr(nbk, "B", 32)
+    monkeypatch.setattr(nbk, "CH", 128)
+    cfg = NBodyConfig(n_fill=20_000, capacity=32768,
+                      grid=GridSpec(grid_dim=16), seed=3)
+    compare(cfg, frames=1)
+
+
+def test_step_impl_blocks_trajectory_matches_dense():
+    cfg = CONFIGS["dense-g4"]
+    sa = sb = nbody.init_fill(cfg)
+    for f in range(6):
+        sa, sta = nbody.step(sa, jnp.int32(f), cfg, 0, "dense")
+        sb, stb = nbody.step(sb, jnp.int32(f), cfg, 0, "blocks")
+        assert int(sta.n_alive) == int(stb.n_alive), f
+        assert int(sta.n_collision_kills) == int(stb.n_collision_kills), f
+        assert int(sta.n_spawned) == int(stb.n_spawned), f
+        np.testing.assert_array_equal(np.asarray(sa.alive),
+                                      np.asarray(sb.alive), f)
+        np.testing.assert_allclose(np.asarray(sa.pos), np.asarray(sb.pos),
+                                   rtol=1e-4, atol=1e-4)
