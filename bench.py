@@ -96,6 +96,25 @@ def bench_capacity(capacity: int, k_short: int = 16, k_long: int = 112,
     return cfg.slots / per_frame, per_frame * 1e3, alive
 
 
+def bench_nbody(frames: int = 6):
+    """The reference simulation at its own scale (1M particles, 16^3 grid,
+    cluster-pair Pallas kernel) — per-frame wall time with full sync."""
+    from particlesystem_tpu.core.config import GridSpec, NBodyConfig
+    from particlesystem_tpu.models import nbody
+
+    cfg = NBodyConfig(n_fill=1 << 20, grid=GridSpec(grid_dim=16))
+    state = nbody.init_fill(cfg)
+    state, stats = nbody.step(state, jnp.int32(0), cfg, 0, "blocks")
+    int(stats.n_alive)  # sync (compile)
+    times = []
+    for f in range(1, frames + 1):
+        t0 = time.perf_counter()
+        state, stats = nbody.step(state, jnp.int32(f), cfg, 0, "blocks")
+        int(stats.n_alive)  # sync
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) * 1e3, int(stats.n_alive)
+
+
 def main():
     backend = jax.default_backend()
     if backend != "tpu":
@@ -108,6 +127,9 @@ def main():
     rate_10m, p50_10m, alive_10m = bench_capacity(cap_10m)
     print(f"10M: {rate_10m:.3e} particle-steps/s  p50 {p50_10m:.3f} ms "
           f"(alive {alive_10m})", file=sys.stderr)
+    nbody_ms, nbody_alive = bench_nbody()
+    print(f"n-body 1M (reference sim): {nbody_ms:.0f} ms/frame "
+          f"(alive {nbody_alive})", file=sys.stderr)
 
     print(json.dumps({
         "metric": "particle_steps_per_sec_at_10M",
@@ -117,6 +139,7 @@ def main():
         "p50_frame_ms_10M": round(p50_10m, 4),
         "particle_steps_per_sec_at_1M": round(rate_1m, 1),
         "p50_frame_ms_1M": round(p50_1m, 4),
+        "nbody_1M_ms_per_frame": round(nbody_ms, 1),
         "backend": backend,
     }))
 

@@ -210,8 +210,9 @@ def step_fields(state: ParticleState, uvec: jax.Array, fert: jax.Array,
         # cluster-pair Pallas kernel: no cell lists, work scales with live
         # particles (ops/neighbor_blocks.py)
         from ..ops.neighbor_blocks import neighbor_pass_blocks
-        acc, kill, touch, overflow, max_occ = neighbor_pass_blocks(
-            state.pos, state.age, state.w, cell, state.alive, cfg)
+        acc, kill, touch, overflow, max_occ, cell_counts = \
+            neighbor_pass_blocks(state.pos, state.age, state.w, cell,
+                                 state.alive, cfg)
         listed_dropped = jnp.int32(0)
     else:
         bins = build_bins(cell, state.alive, grid.num_cells,
@@ -223,12 +224,22 @@ def step_fields(state: ParticleState, uvec: jax.Array, fert: jax.Array,
 
     out, counts = lifecycle_update(state, pos_w, overflow, acc, kill,
                                    touch, uvec, fert, frame, cfg)
-    alive1 = state.alive & ~overflow
-    cell_key = jnp.where(state.alive, cell, grid.num_cells).astype(jnp.int32)
+    if impl == "blocks":
+        # per-cell counts are a prepare() byproduct: chunk occupancy is a
+        # reshape-sum over them (the separate bincount costs ~45 ms at 2M)
+        cd, cf = grid.chunk_dim, grid.chunk_factor
+        per_cell = cell_counts[: grid.num_cells].reshape(
+            cf, cd, cf, cd, cf, cd)          # (q3, r3, q1, r1, q2, r2)
+        max_chunk = jnp.max(jnp.sum(per_cell, axis=(1, 3, 5)))
+    else:
+        alive1 = state.alive & ~overflow
+        cell_key = jnp.where(state.alive, cell,
+                             grid.num_cells).astype(jnp.int32)
+        max_chunk = jnp.max(chunk_occupancy(cell_key, alive1, grid))
     stats = NBodyStats(
         n_listed_dropped=listed_dropped,
         max_cell_occupancy=max_occ,
-        max_chunk_occupancy=jnp.max(chunk_occupancy(cell_key, alive1, grid)),
+        max_chunk_occupancy=max_chunk,
         **counts,
     )
     return out, stats

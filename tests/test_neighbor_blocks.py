@@ -45,7 +45,7 @@ def compare(cfg, frames=2):
     acc_d, kill_d, touch_d = neighbor_pass(
         state.pos, state.age, state.w, ids, bins.cell_list, (g, g, g), cfg,
         batch_cells=64)
-    acc_b, kill_b, touch_b, ovf, _ = nbk.neighbor_pass_blocks(
+    acc_b, kill_b, touch_b, ovf, _, _ = nbk.neighbor_pass_blocks(
         state.pos, state.age, state.w, cell, state.alive, cfg)
     dropped = int(nbk.prepare(state.pos, state.age, state.w, cell,
                               state.alive, cfg)[-1])
