@@ -58,15 +58,22 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def prepare(pos0, age0, w0, cell, alive, cfg: NBodyConfig):
+def prepare(pos0, age0, w0, cell, alive, cfg: NBodyConfig, dims=None,
+            ids=None):
     """Sort by cell and build the kernel inputs.
+
+    ``dims = (d1, d2, d3)`` generalizes to non-cubic grids (cell id =
+    i3*(d1*d2) + i1*d2 + i2), e.g. a device slab extended by halo planes;
+    ``ids`` supplies global particle ids when slots are device-local.
 
     Returns (snap (16, N+CH), chunks (NB, C_MAX, 4) int32 — columns
     (aligned_start, lo, hi, n_active) — order, overflow (unsorted),
-    max_cell_occupancy, n_chunks_dropped).
+    max_cell_occupancy, per-cell counts, n_chunks_dropped).
     """
     g = cfg.grid.grid_dim
-    num_cells = cfg.grid.num_cells
+    d1, d2, d3 = dims or (g, g, g)
+    num_cells = d1 * d2 * d3
+    row_stride, plane_stride = d2, d1 * d2
     cap = cfg.cell_capacity
     n = cell.shape[0]
     assert n % B == 0, (n, B)
@@ -87,15 +94,17 @@ def prepare(pos0, age0, w0, cell, alive, cfg: NBodyConfig):
 
     # one row gather (64 B contiguous rows) instead of 10 element gathers
     f = jnp.float32
-    i3u = cell // (g * g)
-    remu = cell % (g * g)
+    i3u = cell // plane_stride
+    remu = cell % plane_stride
     valid_u = jnp.zeros((n,), jnp.bool_).at[order].set(
         valid_s, mode="drop", unique_indices=True)
     zero = jnp.zeros((n,), f)
+    gid = (jnp.arange(n, dtype=f) if ids is None else ids.astype(f))
     packed_u = jnp.stack([
         pos0[:, 0], pos0[:, 1], pos0[:, 2], w0, age0,
-        (remu // g).astype(f), (remu % g).astype(f), i3u.astype(f),
-        jnp.arange(n, dtype=f),             # gid = original slot id
+        (remu // row_stride).astype(f), (remu % row_stride).astype(f),
+        i3u.astype(f),
+        gid,
         valid_u.astype(f),
         zero, zero, zero, zero, zero, zero,  # pad rows: 8-sublane DMA tiling
     ], axis=1)                               # (N, 16)
@@ -124,8 +133,8 @@ def prepare(pos0, age0, w0, cell, alive, cfg: NBodyConfig):
 
     r_idx = jnp.arange(R_MAX, dtype=jnp.int32)[None, :]  # (1, R_MAX)
 
-    offs = sorted(d3 * g * g + d1 * g
-                  for d3 in (-1, 0, 1) for d1 in (-1, 0, 1))
+    offs = sorted(o3 * plane_stride + o1 * row_stride
+                  for o3 in (-1, 0, 1) for o1 in (-1, 0, 1))
     prev_hi = jnp.full_like(cmin, -_BIG)
     lo_cols, hi_cols = [], []
     for r in range(9):                                    # sequential dedup
@@ -264,16 +273,17 @@ def _kernel(cfg: NBodyConfig, chunks_ref, mine_ref, snap_ref,
     out_ref[:] = acc_ref[:]
 
 
-def neighbor_pass_blocks(pos0, age0, w0, cell, alive, cfg: NBodyConfig
+def neighbor_pass_blocks(pos0, age0, w0, cell, alive, cfg: NBodyConfig,
+                         dims=None, ids=None
                          ) -> Tuple[jax.Array, jax.Array, jax.Array,
-                                    jax.Array, jax.Array]:
+                                    jax.Array, jax.Array, jax.Array]:
     """Full pass: returns per-slot (acc (N,3), kill, touch, overflow,
     max_cell_occupancy, per-cell counts) — same semantics as
     ``ops/neighbor.neighbor_pass`` plus the grid-build byproducts (no cell
-    lists are materialized)."""
+    lists are materialized).  ``dims``/``ids`` as in :func:`prepare`."""
     n = cell.shape[0]
     snap, chunks, order, overflow, max_occ, counts, _ = prepare(
-        pos0, age0, w0, cell, alive, cfg)
+        pos0, age0, w0, cell, alive, cfg, dims=dims, ids=ids)
     nb_blocks = n // B
 
     out = pl.pallas_call(

@@ -51,12 +51,17 @@ from ..ops.neighbor import neighbor_pass
 
 @dataclasses.dataclass(frozen=True)
 class SlabSpec:
-    """Slab decomposition parameters."""
+    """Slab decomposition parameters.
+
+    ``impl``: per-device neighbor pass — "blocks" (cluster-pair Pallas
+    kernel over the halo-extended slab) or "dense" (XLA cell-pair pass).
+    """
 
     n_devices: int
     axis: str = "x"
     halo_capacity: int = 0       # rows per halo buffer; 0 -> derived
     migration_capacity: int = 0  # rows per direction;   0 -> derived
+    impl: str = "dense"
 
     def derive(self, cfg: NBodyConfig) -> "SlabSpec":
         g = cfg.grid
@@ -141,13 +146,37 @@ def make_sharded_step(cfg: NBodyConfig, spec: SlabSpec, mesh: Mesh):
         ext_cell = lp * gd * gd + c_all[:, 0] * gd + c_all[:, 1]
         num_ext = (planes + 2) * gd * gd
 
-        bins = build_bins(ext_cell, valid0, num_ext, cfg.cell_capacity)
-
-        acc, kill, touch = neighbor_pass(pos0, age0, w0, ids0, bins.cell_list,
-                                         (gd, gd, planes + 2), cfg)
+        if spec.impl == "blocks":
+            from ..ops.neighbor_blocks import B as NB_B
+            from ..ops.neighbor_blocks import neighbor_pass_blocks
+            rows = pos0.shape[0]
+            pad = (-rows) % NB_B
+            if pad:
+                padf = lambda a, v: jnp.concatenate(
+                    [a, jnp.full((pad,) + a.shape[1:], v, a.dtype)])
+                pos0p = padf(pos0, 0.0)
+                age0p = padf(age0, 0.0)
+                w0p = padf(w0, 0.0)
+                ids0p = padf(ids0, -1)
+                cellp = padf(ext_cell, 0)
+                validp = padf(valid0, False)
+            else:
+                pos0p, age0p, w0p = pos0, age0, w0
+                ids0p, cellp, validp = ids0, ext_cell, valid0
+            acc, kill, touch, ovf, max_cell, _ = neighbor_pass_blocks(
+                pos0p, age0p, w0p, cellp, validp, cfg,
+                dims=(gd, gd, planes + 2), ids=ids0p)
+            overflow_local = ovf[:c_local]
+        else:
+            bins = build_bins(ext_cell, valid0, num_ext, cfg.cell_capacity)
+            acc, kill, touch = neighbor_pass(pos0, age0, w0, ids0,
+                                             bins.cell_list,
+                                             (gd, gd, planes + 2), cfg)
+            overflow_local = bins.overflow[:c_local]
+            max_cell = bins.max_cell_occupancy
 
         out, counts = lifecycle_update(
-            state, pos_w, bins.overflow[:c_local], acc[:c_local],
+            state, pos_w, overflow_local, acc[:c_local],
             kill[:c_local], touch[:c_local], uvec, fert, frame, cfg)
 
         # ---- migration (cyclic: the torus wrap crosses the ring seam) ---
@@ -208,9 +237,10 @@ def make_sharded_step(cfg: NBodyConfig, spec: SlabSpec, mesh: Mesh):
         stats = {k: psum(v) for k, v in counts.items()}
         stats["n_alive"] = psum(jnp.sum(state3.alive.astype(jnp.int32)))
         stats["halo_dropped"] = psum(ldrop + rdrop)
-        stats["n_listed_dropped"] = psum(bins.n_listed_dropped)
+        stats["n_listed_dropped"] = jnp.int32(0) if spec.impl == "blocks" \
+            else psum(bins.n_listed_dropped)
         stats["migration_dropped"] = psum(mig_dropped)
-        stats["max_cell_occupancy"] = jax.lax.pmax(bins.max_cell_occupancy, ax)
+        stats["max_cell_occupancy"] = jax.lax.pmax(max_cell, ax)
         return state3, stats
 
     pspec = P(ax)

@@ -31,7 +31,11 @@ def alive_rows(state):
     return rows, np.asarray(state.tag)[alive]
 
 
-def test_sharded_matches_single_device():
+import pytest
+
+
+@pytest.mark.parametrize("impl", ["dense", "blocks"])
+def test_sharded_matches_single_device(impl):
     """4-frame window: beyond it, single-ulp float noise between the two
     compilations flips borderline collision outcomes (hard thresholds on a
     chaotic system), which is inherent to cross-implementation comparison —
@@ -41,7 +45,7 @@ def test_sharded_matches_single_device():
     devs = jax.devices()
     assert len(devs) == 8
     mesh = jax.sharding.Mesh(np.array(devs), ("x",))
-    spec = SlabSpec(n_devices=8)
+    spec = SlabSpec(n_devices=8, impl=impl)
 
     init = nbody.init_fill(CFG)
     sharded_init, dropped = distribute(init, CFG, spec)
