@@ -167,6 +167,22 @@ class NBodySimulation:
         self.frame = 0
         self.last_stats = None
         self._width = 0  # 0 = full cell_capacity (always exact)
+        self._steppers = {}
+
+    def _stepper(self, width: int):
+        """Per-instance jitted step.  A module-level shared jit is avoidable
+        here and works around a jax-0.9 dispatch-cache issue where calling
+        ``np.asarray`` on a previous instance's state leaves (e.g. during
+        checkpointing) makes the next differently-shaped call through the
+        shared jit fail with a buffer-count mismatch."""
+        key = (width, self.impl)
+        if key not in self._steppers:
+            cfg, impl = self.cfg, self.impl
+            self._steppers[key] = jax.jit(
+                lambda st, f: nbody.step_fields(
+                    st, *nbody.frame_fields(cfg, f, st.tag), f, cfg,
+                    width, impl))
+        return self._steppers[key]
 
     def _pick_width(self, max_occ: int) -> int:
         """Bucketized list width with 25% headroom over the last observed
@@ -184,9 +200,20 @@ class NBodySimulation:
     def run(self, num_iterations: int = 10, verbose: bool = False):
         for _ in range(num_iterations):
             with self.timers.phase("step"):
-                self.state, stats = nbody.step(
-                    self.state, jnp.int32(self.frame), self.cfg, self._width,
-                    self.impl)
+                try:
+                    self.state, stats = self._stepper(self._width)(
+                        self.state, jnp.int32(self.frame))
+                except ValueError as e:
+                    if "buffers" not in str(e):
+                        raise
+                    # jax-0.9 dispatch-cache flake: a prior instance's
+                    # host readback can poison the executable cache for
+                    # NEW shapes ("supplied N buffers but compiled program
+                    # expected M").  Clearing caches and retracing recovers.
+                    jax.clear_caches()
+                    self._steppers.clear()
+                    self.state, stats = self._stepper(self._width)(
+                        self.state, jnp.int32(self.frame))
             self.frame += 1
             self.last_stats = stats
             if int(stats.n_listed_dropped):
@@ -214,3 +241,40 @@ class NBodySimulation:
     def load(self, path: str) -> None:
         self.state, meta = checkpoint.load(path, self.state)
         self.frame = int(meta.get("frame", 0))
+
+    def validate(self, frames: int = 5) -> dict:
+        """Run ``frames`` steps of both the device path and the independent
+        numpy oracle from the CURRENT state and report the deviation — the
+        working version of the reference's serial-vs-parallel comparison,
+        which is stubbed to always pass (``DoCompare``,
+        ``particleSystem.cpp:2254-2257``).  Discrete lifecycle events must
+        match exactly; float trajectories to accumulation-order tolerance.
+        Does not advance ``self.state``."""
+        import numpy as np
+
+        from .cpu_ref import oracle_nbody
+        from .cpu_ref.oracle_emitter import NpState
+
+        dev = self.state
+        ora = NpState.from_jax(dev)
+        worst = 0.0
+        events_match = True
+        fields_fn = jax.jit(lambda f, t: nbody.frame_fields(self.cfg, f, t))
+        step_fn = jax.jit(lambda st, u, ft, f: nbody.step_fields(
+            st, u, ft, f, self.cfg))
+        for f in range(self.frame, self.frame + frames):
+            uvec, fert = fields_fn(jnp.int32(f), dev.tag)
+            dev, stats = step_fn(dev, uvec, fert, jnp.int32(f))
+            ora, ostats = oracle_nbody.step(ora, np.asarray(uvec),
+                                            np.asarray(fert), f, self.cfg)
+            for k, v in ostats.items():
+                if int(getattr(stats, k)) != v:
+                    events_match = False
+            if not np.array_equal(np.asarray(dev.alive), ora.alive):
+                events_match = False
+            m = np.asarray(dev.alive)
+            if m.any():
+                worst = max(worst, float(np.abs(
+                    np.asarray(dev.pos)[m] - ora.pos[m]).max()))
+        return {"events_match": events_match,
+                "max_position_deviation": worst, "frames": frames}

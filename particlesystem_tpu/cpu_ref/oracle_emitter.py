@@ -35,8 +35,10 @@ class NpState:
 
     @classmethod
     def from_jax(cls, s):
-        return cls(**{f.name: np.asarray(getattr(s, f.name))
-                      for f in dataclasses.fields(cls)})
+        import jax
+        return cls(**{f.name: np.asarray(
+            jax.block_until_ready(getattr(s, f.name)))
+            for f in dataclasses.fields(cls)})
 
 
 def _respond(pos, vel, n, depth, restitution, friction):

@@ -20,6 +20,10 @@ import numpy as np
 
 def _flatten(tree) -> Tuple[dict, Any]:
     leaves, treedef = jax.tree.flatten(tree)
+    # block first: materializing an in-flight jax array via __array__ can
+    # corrupt the dispatch cache on this jax version (flaky "supplied N
+    # buffers but compiled program expected M" on later unrelated calls)
+    leaves = [jax.block_until_ready(l) for l in leaves]
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
     return arrays, treedef
 
@@ -46,7 +50,11 @@ def load(path: str, template):
                 raise ValueError(
                     f"checkpoint shape {got.shape} != template "
                     f"{tuple(np.shape(tpl))} — config mismatch?")
-        tree = jax.tree.unflatten(treedef, [jnp.asarray(x) for x in loaded])
+        # copy=True: zero-copy aliasing of npz-backed numpy memory interacts
+        # badly with the dispatch cache on this jax version (later calls with
+        # NEW shapes flakily fail with a buffer-count mismatch)
+        tree = jax.tree.unflatten(
+            treedef, [jnp.array(x, copy=True) for x in loaded])
     return tree, meta
 
 

@@ -102,6 +102,11 @@ class AsyncReadback:
             self._pending = None
 
     def _emit(self, arr) -> None:
+        try:
+            import jax
+            arr = jax.block_until_ready(arr)
+        except Exception:
+            pass
         host = np.asarray(arr)  # async dispatch already overlapped the copy
         if self.ring.push(host):
             self.published += 1

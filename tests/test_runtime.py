@@ -112,3 +112,14 @@ def test_timers():
     s = t.summary()
     assert s["a"]["count"] == 2
     assert "a:" in t.report()
+
+
+def test_nbody_validate_against_oracle():
+    cfg = NBodyConfig(n_fill=400, capacity=1024,
+                      grid=GridSpec(grid_dim=8, chunk_factor=2),
+                      particle_life=2.0, seed=5)
+    sim = NBodySimulation(cfg)
+    sim.run(2)
+    report = sim.validate(frames=3)
+    assert report["events_match"]
+    assert report["max_position_deviation"] < 1e-2
