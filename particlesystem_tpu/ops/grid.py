@@ -158,9 +158,14 @@ def chunk_occupancy(cell_of: jax.Array, alive: jax.Array, grid: GridSpec) -> jax
 # ``app.cu:352-409``) — equivalent to a per-axis bounds check, with NO
 # periodic wrap even though positions wrap (boundary cells have truncated
 # stencils).
-STENCIL = jnp.array(
+# numpy at module scope: a jnp constant here would instantiate a JAX backend
+# at import time, breaking callers that must pick the platform first
+# (e.g. __graft_entry__.dryrun_multichip forcing virtual CPU devices).
+import numpy as _np  # noqa: E402
+
+STENCIL = _np.array(
     [(d1, d2, d3) for d3 in (-1, 0, 1) for d1 in (-1, 0, 1) for d2 in (-1, 0, 1)],
-    dtype=jnp.int32,
+    dtype=_np.int32,
 )
 
 
