@@ -144,7 +144,8 @@ class ParticleSystem:
 
     def load(self, path: str) -> "ParticleSystem":
         self._ensure()
-        self._es, _ = checkpoint.load(path, self._es)
+        self._es, _ = checkpoint.load(path, self._es,
+                                      expect_config=self.config)
         return self
 
 
@@ -166,23 +167,8 @@ class NBodySimulation:
             self.state = nbody.init_fill(cfg)
         self.frame = 0
         self.last_stats = None
+        self.n_degraded_frames = 0  # frames whose neighbor pass truncated
         self._width = 0  # 0 = full cell_capacity (always exact)
-        self._steppers = {}
-
-    def _stepper(self, width: int):
-        """Per-instance jitted step.  A module-level shared jit is avoidable
-        here and works around a jax-0.9 dispatch-cache issue where calling
-        ``np.asarray`` on a previous instance's state leaves (e.g. during
-        checkpointing) makes the next differently-shaped call through the
-        shared jit fail with a buffer-count mismatch."""
-        key = (width, self.impl)
-        if key not in self._steppers:
-            cfg, impl = self.cfg, self.impl
-            self._steppers[key] = jax.jit(
-                lambda st, f: nbody.step_fields(
-                    st, *nbody.frame_fields(cfg, f, st.tag), f, cfg,
-                    width, impl))
-        return self._steppers[key]
 
     def _pick_width(self, max_occ: int) -> int:
         """Bucketized list width with 25% headroom over the last observed
@@ -197,31 +183,51 @@ class NBodySimulation:
                 return min(b, self.cfg.cell_capacity)
         return 0  # full capacity
 
+    def _step_once(self, state, frame: int):
+        # All consumers (run, validate, tests) go through the ONE module-
+        # level jit ``nbody.step``: jax 0.9 has a dispatch-cache bug where a
+        # SECOND differently-signatured jit wrapping the same Pallas-bearing
+        # step fails on its second call with "supplied N buffers but
+        # compiled program expected M" (the lowered in_avals come back
+        # misassociated across the arg tree).  Deterministic minimal repro:
+        # tools/repro_jax_dispatch_bug.py.  The catch below is a last-line
+        # recovery should another trigger exist; delete both when the repro
+        # prints OK on a newer jax.
+        try:
+            return nbody.step(state, jnp.int32(frame), self.cfg,
+                              self._width, self.impl)
+        except ValueError as e:
+            if "buffers" not in str(e):
+                raise
+            jax.clear_caches()
+            return nbody.step(state, jnp.int32(frame), self.cfg,
+                              self._width, self.impl)
+
     def run(self, num_iterations: int = 10, verbose: bool = False):
         for _ in range(num_iterations):
             with self.timers.phase("step"):
-                try:
-                    self.state, stats = self._stepper(self._width)(
-                        self.state, jnp.int32(self.frame))
-                except ValueError as e:
-                    if "buffers" not in str(e):
-                        raise
-                    # jax-0.9 dispatch-cache flake: a prior instance's
-                    # host readback can poison the executable cache for
-                    # NEW shapes ("supplied N buffers but compiled program
-                    # expected M").  Clearing caches and retracing recovers.
-                    jax.clear_caches()
-                    self._steppers.clear()
-                    self.state, stats = self._stepper(self._width)(
-                        self.state, jnp.int32(self.frame))
+                prev = self.state  # kept so an overflowed frame can be redone
+                self.state, stats = self._step_once(prev, self.frame)
+                if int(stats.n_listed_dropped) and self._width != 0:
+                    # occupancy spiked past the adaptive bucket: REDO this
+                    # frame from the saved state at full width, which is
+                    # exact by construction — adaptive mode never keeps a
+                    # degraded frame
+                    self._width = 0
+                    self.state, stats = self._step_once(prev, self.frame)
             self.frame += 1
             self.last_stats = stats
             if int(stats.n_listed_dropped):
-                # occupancy spiked past the bucket: redo this frame exactly
-                # (the state was already consumed, so step from the saved
-                # point is not possible — instead widen for the future and
-                # surface the event)
-                self._width = 0
+                # full width still truncated (blocks impl: a block's stencil
+                # exceeded the static chunk budget C_MAX) — the frame stands
+                # but exactness was lost; surface it loudly
+                self.n_degraded_frames += 1
+                import warnings
+                warnings.warn(
+                    f"frame {self.frame}: {int(stats.n_listed_dropped)} "
+                    f"neighbor entries dropped — forces truncated "
+                    f"(impl={self.impl}); raise the chunk budget or cell "
+                    f"capacity", RuntimeWarning, stacklevel=2)
             if self.adaptive_width:
                 new_w = self._pick_width(int(stats.max_cell_occupancy))
                 if new_w != self._width and int(stats.n_listed_dropped) == 0:
@@ -239,7 +245,8 @@ class NBodySimulation:
                                   **checkpoint.config_fingerprint(self.cfg)))
 
     def load(self, path: str) -> None:
-        self.state, meta = checkpoint.load(path, self.state)
+        self.state, meta = checkpoint.load(path, self.state,
+                                           expect_config=self.cfg)
         self.frame = int(meta.get("frame", 0))
 
     def validate(self, frames: int = 5) -> dict:
@@ -259,12 +266,23 @@ class NBodySimulation:
         ora = NpState.from_jax(dev)
         worst = 0.0
         events_match = True
+        # Device side runs the PRODUCTION impl through the shared
+        # ``nbody.step`` jit (one signature process-wide, see _step_once);
+        # the oracle gets the same per-frame random fields recomputed
+        # separately — deterministic threefry keyed on (seed, frame, tag),
+        # so both sides see identical draws.
         fields_fn = jax.jit(lambda f, t: nbody.frame_fields(self.cfg, f, t))
-        step_fn = jax.jit(lambda st, u, ft, f: nbody.step_fields(
-            st, u, ft, f, self.cfg))
         for f in range(self.frame, self.frame + frames):
             uvec, fert = fields_fn(jnp.int32(f), dev.tag)
-            dev, stats = step_fn(dev, uvec, fert, jnp.int32(f))
+            try:
+                dev, stats = nbody.step(dev, jnp.int32(f), self.cfg,
+                                        0, self.impl)
+            except ValueError as e:  # same bug as _step_once; retrace
+                if "buffers" not in str(e):
+                    raise
+                jax.clear_caches()
+                dev, stats = nbody.step(dev, jnp.int32(f), self.cfg,
+                                        0, self.impl)
             ora, ostats = oracle_nbody.step(ora, np.asarray(uvec),
                                             np.asarray(fert), f, self.cfg)
             for k, v in ostats.items():

@@ -208,12 +208,14 @@ def step_fields(state: ParticleState, uvec: jax.Array, fert: jax.Array,
     # --- CALC_FORCES: neighbor pass on the pre-step snapshot -------------
     if impl == "blocks":
         # cluster-pair Pallas kernel: no cell lists, work scales with live
-        # particles (ops/neighbor_blocks.py)
+        # particles (ops/neighbor_blocks.py); chunk drops (stencil exceeded
+        # the per-block budget -> interactions lost) surface as
+        # n_listed_dropped, same meaning as the dense pass's list overflow
         from ..ops.neighbor_blocks import neighbor_pass_blocks
-        acc, kill, touch, overflow, max_occ, cell_counts = \
+        acc, kill, touch, overflow, max_occ, cell_counts, chunks_dropped = \
             neighbor_pass_blocks(state.pos, state.age, state.w, cell,
                                  state.alive, cfg)
-        listed_dropped = jnp.int32(0)
+        listed_dropped = chunks_dropped.astype(jnp.int32)
     else:
         bins = build_bins(cell, state.alive, grid.num_cells,
                           cfg.cell_capacity, list_width=list_width)

@@ -26,8 +26,11 @@ ONE strided DMA and every per-pair quantity lives in lane-major (B, CH)
 tiles.  Integer-valued rows are exact in f32 below 2^24 slots.
 
 Capacity escapes are reported, never silent: blocks whose stencil needs more
-than C_MAX chunks drop the excess (returned by :func:`prepare` as
-``n_chunks_dropped``; C_MAX covers the worst observed occupancy ~3x).
+than C_MAX chunks drop the excess.  :func:`neighbor_pass_blocks` returns the
+count as ``n_chunks_dropped`` and callers surface it through
+``NBodyStats.n_listed_dropped`` (C_MAX covers the worst observed occupancy
+~3x; a nonzero count means forces were truncated — rerun with a larger
+``c_max``).
 """
 
 from __future__ import annotations
@@ -59,17 +62,20 @@ def _interpret() -> bool:
 
 
 def prepare(pos0, age0, w0, cell, alive, cfg: NBodyConfig, dims=None,
-            ids=None):
+            ids=None, c_max: int | None = None):
     """Sort by cell and build the kernel inputs.
 
     ``dims = (d1, d2, d3)`` generalizes to non-cubic grids (cell id =
     i3*(d1*d2) + i1*d2 + i2), e.g. a device slab extended by halo planes;
     ``ids`` supplies global particle ids when slots are device-local.
+    ``c_max`` overrides the static per-block chunk budget (tests use tiny
+    values to exercise the drop-report path).
 
-    Returns (snap (16, N+CH), chunks (NB, C_MAX, 4) int32 — columns
+    Returns (snap (16, N+CH), chunks (NB, c_max, 4) int32 — columns
     (aligned_start, lo, hi, n_active) — order, overflow (unsorted),
     max_cell_occupancy, per-cell counts, n_chunks_dropped).
     """
+    c_max = C_MAX if c_max is None else c_max
     g = cfg.grid.grid_dim
     d1, d2, d3 = dims or (g, g, g)
     num_cells = d1 * d2 * d3
@@ -77,6 +83,11 @@ def prepare(pos0, age0, w0, cell, alive, cfg: NBodyConfig, dims=None,
     cap = cfg.cell_capacity
     n = cell.shape[0]
     assert n % B == 0, (n, B)
+    # ids ride the snapshot as f32 (one strided DMA per chunk); equality and
+    # ordering are exact only below 2^24.  Enforced, not just documented.
+    assert n < (1 << 24), (
+        f"blocks kernel carries ids in f32: {n} slots >= 2^24 — use the "
+        f"dense impl above 16.7M slots")
 
     key = jnp.where(alive, cell, num_cells).astype(jnp.int32)
     order = jnp.argsort(key, stable=True).astype(jnp.int32)
@@ -161,23 +172,23 @@ def prepare(pos0, age0, w0, cell, alive, cfg: NBodyConfig, dims=None,
     nch = jnp.where(count > 0, (tot + CH - 1) // CH, 0)
     cum = jnp.cumsum(nch, axis=1)                       # inclusive
     total = cum[:, -1]
-    n_dropped = jnp.sum(jnp.maximum(total - C_MAX, 0))
+    n_dropped = jnp.sum(jnp.maximum(total - c_max, 0))
 
-    j = jnp.arange(C_MAX, dtype=jnp.int32)[None, :]     # (1, C_MAX)
+    j = jnp.arange(c_max, dtype=jnp.int32)[None, :]     # (1, c_max)
     r_of = jnp.sum((cum[:, :, None] <= j[:, None, :]).astype(jnp.int32),
-                   axis=1)                              # (NB, C_MAX)
+                   axis=1)                              # (NB, c_max)
     r_ofc = jnp.clip(r_of, 0, R_MAX - 1)
     take = lambda a: jnp.take_along_axis(a, r_ofc, axis=1)
     base = jnp.where(r_of > 0,
                      jnp.take_along_axis(
                          cum, jnp.clip(r_of - 1, 0, R_MAX - 1), axis=1), 0)
-    c_in = j - base                                      # (NB, C_MAX)
-    valid_j = j < jnp.minimum(total, C_MAX)[:, None]
+    c_in = j - base                                      # (NB, c_max)
+    valid_j = j < jnp.minimum(total, c_max)[:, None]
     astart_j = jnp.where(valid_j, take(astart) + c_in * CH, 0)
     lo_j = jnp.where(valid_j, jnp.clip(take(lead) - c_in * CH, 0, CH), 0)
     hi_j = jnp.where(valid_j, jnp.clip(take(tot) - c_in * CH, 0, CH), 0)
-    nact = jnp.minimum(total, C_MAX).astype(jnp.int32)
-    nact_col = jnp.broadcast_to(nact[:, None], (nb, C_MAX))
+    nact = jnp.minimum(total, c_max).astype(jnp.int32)
+    nact_col = jnp.broadcast_to(nact[:, None], (nb, c_max))
     chunks = jnp.stack([astart_j, lo_j, hi_j, nact_col],
                        axis=-1).astype(jnp.int32)
 
@@ -274,16 +285,21 @@ def _kernel(cfg: NBodyConfig, chunks_ref, mine_ref, snap_ref,
 
 
 def neighbor_pass_blocks(pos0, age0, w0, cell, alive, cfg: NBodyConfig,
-                         dims=None, ids=None
+                         dims=None, ids=None, c_max: int | None = None
                          ) -> Tuple[jax.Array, jax.Array, jax.Array,
-                                    jax.Array, jax.Array, jax.Array]:
+                                    jax.Array, jax.Array, jax.Array,
+                                    jax.Array]:
     """Full pass: returns per-slot (acc (N,3), kill, touch, overflow,
-    max_cell_occupancy, per-cell counts) — same semantics as
-    ``ops/neighbor.neighbor_pass`` plus the grid-build byproducts (no cell
-    lists are materialized).  ``dims``/``ids`` as in :func:`prepare`."""
+    max_cell_occupancy, per-cell counts, n_chunks_dropped) — same semantics
+    as ``ops/neighbor.neighbor_pass`` plus the grid-build byproducts (no cell
+    lists are materialized).  ``dims``/``ids``/``c_max`` as in
+    :func:`prepare`.  A nonzero ``n_chunks_dropped`` means some blocks'
+    stencils exceeded the chunk budget and interactions were LOST — callers
+    must surface it (``NBodyStats.n_listed_dropped``)."""
+    c_max = C_MAX if c_max is None else c_max
     n = cell.shape[0]
-    snap, chunks, order, overflow, max_occ, counts, _ = prepare(
-        pos0, age0, w0, cell, alive, cfg, dims=dims, ids=ids)
+    snap, chunks, order, overflow, max_occ, counts, n_dropped = prepare(
+        pos0, age0, w0, cell, alive, cfg, dims=dims, ids=ids, c_max=c_max)
     nb_blocks = n // B
 
     out = pl.pallas_call(
@@ -291,7 +307,7 @@ def neighbor_pass_blocks(pos0, age0, w0, cell, alive, cfg: NBodyConfig,
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
         grid=(nb_blocks,),
         in_specs=[
-            pl.BlockSpec((1, C_MAX, 4), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, c_max, 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((16, B), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -317,4 +333,4 @@ def neighbor_pass_blocks(pos0, age0, w0, cell, alive, cfg: NBodyConfig,
     acc = unsorted[:, 0:3]
     kill = unsorted[:, 3] > 0
     touch = unsorted[:, 4] > 0
-    return acc, kill, touch, overflow, max_occ, counts
+    return acc, kill, touch, overflow, max_occ, counts, n_dropped

@@ -163,10 +163,12 @@ def make_sharded_step(cfg: NBodyConfig, spec: SlabSpec, mesh: Mesh):
             else:
                 pos0p, age0p, w0p = pos0, age0, w0
                 ids0p, cellp, validp = ids0, ext_cell, valid0
-            acc, kill, touch, ovf, max_cell, _ = neighbor_pass_blocks(
-                pos0p, age0p, w0p, cellp, validp, cfg,
-                dims=(gd, gd, planes + 2), ids=ids0p)
+            acc, kill, touch, ovf, max_cell, _, chunks_dropped = \
+                neighbor_pass_blocks(
+                    pos0p, age0p, w0p, cellp, validp, cfg,
+                    dims=(gd, gd, planes + 2), ids=ids0p)
             overflow_local = ovf[:c_local]
+            listed_dropped = chunks_dropped.astype(jnp.int32)
         else:
             bins = build_bins(ext_cell, valid0, num_ext, cfg.cell_capacity)
             acc, kill, touch = neighbor_pass(pos0, age0, w0, ids0,
@@ -174,6 +176,7 @@ def make_sharded_step(cfg: NBodyConfig, spec: SlabSpec, mesh: Mesh):
                                              (gd, gd, planes + 2), cfg)
             overflow_local = bins.overflow[:c_local]
             max_cell = bins.max_cell_occupancy
+            listed_dropped = bins.n_listed_dropped
 
         out, counts = lifecycle_update(
             state, pos_w, overflow_local, acc[:c_local],
@@ -237,8 +240,7 @@ def make_sharded_step(cfg: NBodyConfig, spec: SlabSpec, mesh: Mesh):
         stats = {k: psum(v) for k, v in counts.items()}
         stats["n_alive"] = psum(jnp.sum(state3.alive.astype(jnp.int32)))
         stats["halo_dropped"] = psum(ldrop + rdrop)
-        stats["n_listed_dropped"] = jnp.int32(0) if spec.impl == "blocks" \
-            else psum(bins.n_listed_dropped)
+        stats["n_listed_dropped"] = psum(listed_dropped)
         stats["migration_dropped"] = psum(mig_dropped)
         stats["max_cell_occupancy"] = jax.lax.pmax(max_cell, ax)
         return state3, stats

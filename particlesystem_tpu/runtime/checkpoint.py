@@ -36,12 +36,26 @@ def save(path: str, tree, meta: dict | None = None) -> None:
     np.savez(path, **arrays)
 
 
-def load(path: str, template):
+def load(path: str, template, expect_config=None):
     """Read a checkpoint written by :func:`save`; ``template`` provides the
     pytree structure (e.g. a freshly built state of the same config).
-    Returns (tree, meta)."""
+    Returns (tree, meta).
+
+    ``expect_config``: the config the caller will resume under.  Most physics
+    knobs (dt, gravity, eps2, seed...) don't change array shapes, so shape
+    checks alone would let a checkpoint silently resume under a different
+    config; pass the config (or its fingerprint dict) to reject that."""
     with np.load(path) as data:
         meta = json.loads(bytes(data["__meta__"]).decode())
+        if expect_config is not None:
+            want = (expect_config if isinstance(expect_config, dict)
+                    else config_fingerprint(expect_config))
+            stored = {k: meta[k] for k in want if k in meta}
+            if stored != want:
+                diff = {k: (stored.get(k), want[k])
+                        for k in want if stored.get(k) != want[k]}
+                raise ValueError(
+                    f"checkpoint config mismatch (stored, current): {diff}")
         leaves, treedef = jax.tree.flatten(template)
         n = len(leaves)
         loaded = [data[f"leaf_{i}"] for i in range(n)]
@@ -50,6 +64,10 @@ def load(path: str, template):
                 raise ValueError(
                     f"checkpoint shape {got.shape} != template "
                     f"{tuple(np.shape(tpl))} — config mismatch?")
+            if np.asarray(tpl).dtype != got.dtype:
+                raise ValueError(
+                    f"checkpoint dtype {got.dtype} != template "
+                    f"{np.asarray(tpl).dtype} — config mismatch?")
         # copy=True: zero-copy aliasing of npz-backed numpy memory interacts
         # badly with the dispatch cache on this jax version (later calls with
         # NEW shapes flakily fail with a buffer-count mismatch)

@@ -31,18 +31,21 @@ LIFECYCLE = NBodyConfig(
 )
 
 
-def run_parity(cfg, n_frames):
+def run_parity(cfg, n_frames, impl="dense"):
     state = nbody.init_fill(cfg)
     ora = NpState.from_jax(state)
     events = {k: 0 for k in ("n_collision_kills", "n_age_deaths",
                              "n_survivals", "n_spawned", "n_overflow_kills")}
 
+    # device side through the ONE shared nbody.step jit (a second jit
+    # signature around the blocks step trips a jax-0.9 dispatch-cache bug —
+    # tools/repro_jax_dispatch_bug.py); the oracle's random fields are
+    # recomputed separately, identical by threefry determinism
     fields = jax.jit(lambda f, t: nbody.frame_fields(cfg, f, t))
-    step = jax.jit(lambda s, u, ft, f: nbody.step_fields(s, u, ft, f, cfg))
 
     for frame in range(n_frames):
         uvec, fert = fields(jnp.int32(frame), state.tag)
-        state, stats = step(state, uvec, fert, jnp.int32(frame))
+        state, stats = nbody.step(state, jnp.int32(frame), cfg, 0, impl)
         ora, ostats = oracle_nbody.step(
             ora, np.asarray(uvec), np.asarray(fert), frame, cfg)
 
@@ -78,6 +81,14 @@ def assert_close_chaotic(a, b, msg):
 def test_dense_collisions_parity():
     events = run_parity(DENSE, 12)
     assert events["n_collision_kills"] > 0, "config never exercised collisions"
+    assert events["n_survivals"] > 0
+
+
+def test_blocks_oracle_parity():
+    """The production impl (cluster-pair Pallas kernel) checked DIRECTLY
+    against the numpy oracle — not only via dense-path transitivity."""
+    events = run_parity(DENSE, 12, impl="blocks")
+    assert events["n_collision_kills"] > 0
     assert events["n_survivals"] > 0
 
 
