@@ -40,3 +40,14 @@ def mesh_1d(n_devices: Optional[int] = None, axis: str = "x") -> Mesh:
             raise ValueError(f"need {n_devices} devices, have {len(devs)}")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
+
+
+def mesh_2d(d3: int, d1: int, axes=("x", "y")) -> Mesh:
+    """2D ``(d3, d1)`` mesh for the pencil decomposition
+    (``parallel/nbody_pencil.py``).  Axis "x" shards grid planes (i3),
+    "y" shards rows (i1); on a real pod slice lay "x" along the longer
+    ICI ring (it carries the cyclic migration traffic)."""
+    devs = jax.devices()
+    if len(devs) < d3 * d1:
+        raise ValueError(f"need {d3 * d1} devices, have {len(devs)}")
+    return Mesh(np.array(devs[: d3 * d1]).reshape(d3, d1), axes)

@@ -25,8 +25,14 @@ subscriptions (``set_pkg_segments`` ``app_common.cu:150-232``; subscriptions
 
 Known divergence from the single-device step (documented, deterministic):
 explosion children and immigrants are allocated into *per-device* free slots,
-so global slot numbering differs from the single-device run; physics is
-unaffected while capacity is ample (tests compare alive-particle multisets).
+so global slot numbering differs from the single-device run.  Because
+collision ordering keys on slot-derived global ids (``gids = d*c_local +
+slot``), a later collision involving a reallocated particle can flip which
+of the two survives relative to the single-device trajectory — forces,
+deaths, and event counts are otherwise identical (children additionally
+cannot collide before reaching ``kid_age``).  The parity tests'
+exact-identity windows are sized accordingly; beyond them, compare event
+ledgers and invariants (see ``test_pencil_long_horizon_invariants``).
 Halo/migration buffer overflow drops particles (fixed shapes); stats report
 drops so production configs can size buffers.
 """
