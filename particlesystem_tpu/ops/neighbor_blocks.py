@@ -15,19 +15,27 @@ system):
   contiguous range of sorted rows, split into 128-aligned chunks;
 * the kernel streams the chunk list through VMEM with double-buffered async
   DMA, computing (B, CH) pairwise tiles on the VPU.  Per-pair cell-delta
-  masks restore exact 27-stencil semantics (``fill_cells`` clipping,
-  ``/root/reference/source/code/inc/app.cu:352-409``): collision flags
-  (``bodyBodyCollision``, ``app_common.cu:269-301``, larger id survives) and
-  Plummer gravity (``bodyBodyInteraction``, ``app_common.cu:236-267``).
+  masks restore exact 27-stencil semantics (``fill_cells`` dist^2 <= 3
+  filter, ``/root/reference/source/code/inc/app.cu:352-409`` — for integer
+  deltas that IS the 3x3x3 cube): collision flags (``bodyBodyCollision``,
+  ``app_common.cu:269-301``, larger id survives) and Plummer gravity
+  (``bodyBodyInteraction``, ``app_common.cu:236-267``).
 
-Snapshot layout: one (16, N_pad) f32 array — rows x, y, z, w, age, i1, i2,
-i3, gid, valid (+6 pad rows for the 8-sublane DMA tiling) — so a chunk is
-ONE strided DMA and every per-pair quantity lives in lane-major (B, CH)
-tiles.  Integer-valued rows are exact in f32 below 2^24 slots.
+Snapshot layout: one (16, N_pad) f32 array — rows x, y, z, pad, i1, i2,
+i3, cnn=i1^2+i2^2+i3^2, gid (int32 BITCAST to f32: exact at any slot
+count), age, w, w*x, w*y, w*z, pad, pad — so a chunk is ONE strided DMA
+and every per-pair quantity lives in lane-major (B, CH) tiles.  Rows that
+fail the sorted-side validity test (dead, or past the per-cell cap) get
+unique out-of-band cell coordinates (-10 - row%2^20), which excludes them
+from every mask with zero extra per-pair ops.
 
-Capacity escapes are reported, never silent: blocks whose stencil needs more
-than C_MAX chunks drop the excess.  :func:`neighbor_pass_blocks` returns the
-count as ``n_chunks_dropped`` and callers surface it through
+Collision results leave the kernel as ONE reduction: gmax = max int32 gid
+over colliding neighbors (INT32_MIN if none) — ``kill = gmax > my_gid``
+and ``touch = gmax > INT32_MIN`` are derived per slot after the unsort.
+
+Capacity escapes are reported, never silent: blocks whose stencil needs
+more than C_MAX chunks drop the excess.  :func:`neighbor_pass_blocks`
+returns the count as ``n_chunks_dropped`` and callers surface it through
 ``NBodyStats.n_listed_dropped`` (C_MAX covers the worst observed occupancy
 ~3x; a nonzero count means forces were truncated — rerun with a larger
 ``c_max``).
@@ -45,11 +53,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.config import NBodyConfig
 
-B = 256        # block rows (my particles per grid step)
-CH = 1024      # neighbor chunk columns per DMA (swept at 1M: 512 -> 404 ms, 1024 -> 386 ms)
+B = 512        # block rows per grid step (swept at 1M steady state on v5e:
+               # b256 108.6 ms, b512 88.0 ms full pass; bigger blocks
+               # amortize DMA + per-block fixed cost)
+CH = 1024      # neighbor chunk columns per DMA (ch512 is 37% slower)
 R_MAX = 24     # static neighbor-range slots per block
 C_MAX = 48     # static chunk slots per block
 _BIG = jnp.int32(1 << 30)
+_IMIN = jnp.iinfo(jnp.int32).min
 
 
 def _interpret() -> bool:
@@ -62,65 +73,77 @@ def _interpret() -> bool:
 
 
 def prepare(pos0, age0, w0, cell, alive, cfg: NBodyConfig, dims=None,
-            ids=None, c_max: int | None = None):
+            ids=None, c_max: int | None = None, ch: int | None = None,
+            b: int | None = None):
     """Sort by cell and build the kernel inputs.
 
     ``dims = (d1, d2, d3)`` generalizes to non-cubic grids (cell id =
     i3*(d1*d2) + i1*d2 + i2), e.g. a device slab extended by halo planes;
-    ``ids`` supplies global particle ids when slots are device-local.
-    ``c_max`` overrides the static per-block chunk budget (tests use tiny
-    values to exercise the drop-report path).
+    ``ids`` supplies global particle ids (int32) when slots are
+    device-local.  ``c_max`` overrides the static per-block chunk budget
+    (tests use tiny values to exercise the drop-report path); ``ch``/``b``
+    override the chunk-column / block-row tile sizes.
 
-    Returns (snap (16, N+CH), chunks (NB, c_max, 4) int32 — columns
-    (aligned_start, lo, hi, n_active) — order, overflow (unsorted),
+    Returns (snap (16, N+ch), chunks (NB, c_max, 4) int32 — columns
+    (aligned_start, lo, hi, n_active) — order, overflow_s (SORTED-side
+    per-cell-cap overflow; ride it through the unsort carry),
     max_cell_occupancy, per-cell counts, n_chunks_dropped).
     """
     c_max = C_MAX if c_max is None else c_max
+    ch = CH if ch is None else ch
+    b = B if b is None else b
     g = cfg.grid.grid_dim
     d1, d2, d3 = dims or (g, g, g)
     num_cells = d1 * d2 * d3
     row_stride, plane_stride = d2, d1 * d2
     cap = cfg.cell_capacity
     n = cell.shape[0]
-    assert n % B == 0, (n, B)
-    # ids ride the snapshot as f32 (one strided DMA per chunk); equality and
-    # ordering are exact only below 2^24.  Enforced, not just documented.
-    assert n < (1 << 24), (
-        f"blocks kernel carries ids in f32: {n} slots >= 2^24 — use the "
-        f"dense impl above 16.7M slots")
+    assert n % b == 0, (n, b)
 
+    f = jnp.float32
+    iot = jnp.arange(n, dtype=jnp.int32)
     key = jnp.where(alive, cell, num_cells).astype(jnp.int32)
-    order = jnp.argsort(key, stable=True).astype(jnp.int32)
-    skey = key[order]
+    gid_i = iot if ids is None else ids.astype(jnp.int32)
+    gid_bits = jax.lax.bitcast_convert_type(gid_i, f)  # exact at ANY count
 
-    counts = jnp.bincount(key, length=num_cells + 1)
-    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                              jnp.cumsum(counts).astype(jnp.int32)])
-    rank = jnp.arange(n, dtype=jnp.int32) - starts[skey]
+    # ONE carrying sort builds the whole sorted snapshot: a row scatter or
+    # gather costs 45-190 ms at 2M rows on v5e, while lax.sort moving the
+    # payload through the sort network is ~2 ms/column.  Cell coords are
+    # re-derived from the sorted key instead of being carried.
+    skey, sx, sy, sz, sgid, sage, sw, order = jax.lax.sort(
+        (key, pos0[:, 0], pos0[:, 1], pos0[:, 2], gid_bits, age0, w0, iot),
+        num_keys=1, is_stable=True)
+
+    # starts via vectorized binary search (bincount+cumsum costs ~14 ms)
+    starts = jnp.searchsorted(
+        skey, jnp.arange(num_cells + 2, dtype=jnp.int32)).astype(jnp.int32)
+    counts = jnp.diff(starts)                # (num_cells + 1,)
+    # in-cell rank without an (N,)-table gather: distance to the start of
+    # the current equal-key run (runs are ascending, so a running max of
+    # boundary positions is exactly the run start)
+    first = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                             skey[1:] != skey[:-1]])
+    run_start = jax.lax.cummax(jnp.where(first, iot, 0))
+    rank = iot - run_start
 
     valid_s = (skey < num_cells) & (rank < cap)
     overflow_s = (skey < num_cells) & (rank >= cap)
-    overflow = jnp.zeros((n,), jnp.bool_).at[order].set(
-        overflow_s, mode="drop", unique_indices=True)
 
-    # one row gather (64 B contiguous rows) instead of 10 element gathers
-    f = jnp.float32
-    i3u = cell // plane_stride
-    remu = cell % plane_stride
-    valid_u = jnp.zeros((n,), jnp.bool_).at[order].set(
-        valid_s, mode="drop", unique_indices=True)
+    # invalid rows get unique out-of-band coords so every per-pair mask
+    # rejects them via cd^2 alone (zero extra per-pair ops in the kernel)
+    badc = -10.0 - (iot % (1 << 20)).astype(f)
+    i3q = skey // plane_stride
+    remq = skey % plane_stride
+    i1s = jnp.where(valid_s, (remq // row_stride).astype(f), badc)
+    i2s = jnp.where(valid_s, (remq % row_stride).astype(f), badc)
+    i3s = jnp.where(valid_s, i3q.astype(f), badc)
+    cnn = i1s * i1s + i2s * i2s + i3s * i3s
     zero = jnp.zeros((n,), f)
-    gid = (jnp.arange(n, dtype=f) if ids is None else ids.astype(f))
-    packed_u = jnp.stack([
-        pos0[:, 0], pos0[:, 1], pos0[:, 2], w0, age0,
-        (remu // row_stride).astype(f), (remu % row_stride).astype(f),
-        i3u.astype(f),
-        gid,
-        valid_u.astype(f),
-        zero, zero, zero, zero, zero, zero,  # pad rows: 8-sublane DMA tiling
-    ], axis=1)                               # (N, 16)
-    snap = packed_u[order].T                 # (16, N)
-    snap = jnp.pad(snap, ((0, 0), (0, CH)))  # chunk reads never go OOB
+    snap = jnp.stack([
+        sx, sy, sz, zero, i1s, i2s, i3s, cnn,
+        sgid, sage, sw, sw * sx, sw * sy, sw * sz, zero, zero,
+    ], axis=0)                               # (16, N), no transpose needed
+    snap = jnp.pad(snap, ((0, 0), (0, ch)))  # chunk reads never go OOB
 
     # ---- per-block neighbor ranges --------------------------------------
     # Sorted cells in a block are CONTIGUOUS: [cmin, cmax].  For each of the
@@ -133,10 +156,10 @@ def prepare(pos0, age0, w0, cell, alive, cfg: NBodyConfig, dims=None,
     # double-count genuine neighbors; offsets are ascending, so clipping
     # each range's start past the previous range's end (dedup below)
     # restores pairwise disjointness while keeping the union intact.
-    nb = n // B
+    nb = n // b
 
     def seg(a, init, op):
-        a = jnp.where(valid_s, a, init).reshape(nb, B)
+        a = jnp.where(valid_s, a, init).reshape(nb, b)
         return op(a, axis=1)
     cmin = seg(skey, _BIG, jnp.min)                      # (NB,)
     cmax = seg(skey, -_BIG, jnp.max)
@@ -169,7 +192,7 @@ def prepare(pos0, age0, w0, cell, alive, cfg: NBodyConfig, dims=None,
     astart = (r_start // 128) * 128
     lead = r_start - astart
     tot = lead + count                                  # (NB, R_MAX)
-    nch = jnp.where(count > 0, (tot + CH - 1) // CH, 0)
+    nch = jnp.where(count > 0, (tot + ch - 1) // ch, 0)
     cum = jnp.cumsum(nch, axis=1)                       # inclusive
     total = cum[:, -1]
     n_dropped = jnp.sum(jnp.maximum(total - c_max, 0))
@@ -184,16 +207,16 @@ def prepare(pos0, age0, w0, cell, alive, cfg: NBodyConfig, dims=None,
                          cum, jnp.clip(r_of - 1, 0, R_MAX - 1), axis=1), 0)
     c_in = j - base                                      # (NB, c_max)
     valid_j = j < jnp.minimum(total, c_max)[:, None]
-    astart_j = jnp.where(valid_j, take(astart) + c_in * CH, 0)
-    lo_j = jnp.where(valid_j, jnp.clip(take(lead) - c_in * CH, 0, CH), 0)
-    hi_j = jnp.where(valid_j, jnp.clip(take(tot) - c_in * CH, 0, CH), 0)
+    astart_j = jnp.where(valid_j, take(astart) + c_in * ch, 0)
+    lo_j = jnp.where(valid_j, jnp.clip(take(lead) - c_in * ch, 0, ch), 0)
+    hi_j = jnp.where(valid_j, jnp.clip(take(tot) - c_in * ch, 0, ch), 0)
     nact = jnp.minimum(total, c_max).astype(jnp.int32)
     nact_col = jnp.broadcast_to(nact[:, None], (nb, c_max))
     chunks = jnp.stack([astart_j, lo_j, hi_j, nact_col],
                        axis=-1).astype(jnp.int32)
 
     max_occ = jnp.max(counts[:num_cells]).astype(jnp.int32)
-    return snap, chunks, order, overflow, max_occ, counts, n_dropped
+    return snap, chunks, order, overflow_s, max_occ, counts, n_dropped
 
 
 # ---------------------------------------------------------------------------
@@ -201,34 +224,36 @@ def prepare(pos0, age0, w0, cell, alive, cfg: NBodyConfig, dims=None,
 # ---------------------------------------------------------------------------
 
 
-def _kernel(cfg: NBodyConfig, chunks_ref, mine_ref, snap_ref,
-            out_ref, nbuf, acc_ref, sem):
+def _kernel(cfg: NBodyConfig, b: int, ch: int, acc_mxu: bool, cell_mxu: bool,
+            chunks_ref, mine_ref, snap_ref, out_ref, nbuf, acc_ref, imax_ref,
+            sem):
     kid = jnp.float32(cfg.kid_age)
     lifec = jnp.float32(cfg.particle_life)
     r2 = jnp.float32(cfg.collision_radius) ** 2
     eps2 = jnp.float32(cfg.eps2)
 
     mine = mine_ref[:]                      # (16, B)
-    mx = mine[0].reshape(B, 1)
-    my = mine[1].reshape(B, 1)
-    mz = mine[2].reshape(B, 1)
-    mage = mine[4].reshape(B, 1)
-    mi1 = mine[5].reshape(B, 1)
-    mi2 = mine[6].reshape(B, 1)
-    mi3 = mine[7].reshape(B, 1)
-    mgid = mine[8].reshape(B, 1)
-    mvalid = mine[9].reshape(B, 1) > 0
+    mx = mine[0].reshape(b, 1)
+    my = mine[1].reshape(b, 1)
+    mz = mine[2].reshape(b, 1)
+    mi1 = mine[4].reshape(b, 1)
+    mi2 = mine[5].reshape(b, 1)
+    mi3 = mine[6].reshape(b, 1)
+    cmm = mine[7].reshape(b, 1)
+    mgid = jax.lax.bitcast_convert_type(mine[8], jnp.int32).reshape(b, 1)
+    mage = mine[4 + 5].reshape(b, 1)
     madult = mage >= kid
-    myoung = mage <= lifec
+    myoung_adult = madult & (mage <= lifec)
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
-    col = jax.lax.broadcasted_iota(jnp.int32, (B, CH), 1)
+    imax_ref[:] = jnp.full_like(imax_ref, _IMIN)
+    colr = jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1)
     nact = chunks_ref[0, 0, 3]
 
     def dma(j, slot):
         astart = pl.multiple_of(chunks_ref[0, j, 0], 128)
         return pltpu.make_async_copy(
-            snap_ref.at[:, pl.ds(astart, CH)], nbuf.at[slot], sem.at[slot])
+            snap_ref.at[:, pl.ds(astart, ch)], nbuf.at[slot], sem.at[slot])
 
     @pl.when(nact > 0)
     def _():
@@ -245,47 +270,88 @@ def _kernel(cfg: NBodyConfig, chunks_ref, mine_ref, snap_ref,
         nb = nbuf[slot]                     # (16, CH)
         lo = chunks_ref[0, j, 1]
         hi = chunks_ref[0, j, 2]
-        in_rng = (col >= lo) & (col < hi)
 
-        dx = nb[0].reshape(1, CH) - mx
-        dy = nb[1].reshape(1, CH) - my
-        dz = nb[2].reshape(1, CH) - mz
+        # --- cheap (1, CH) row vectors ---------------------------------
+        in_rng = (colr >= lo) & (colr < hi)
+        nage = nb[9].reshape(1, ch)
+        row_g = in_rng & (nage >= kid)            # gravity-eligible column
+        row_c = row_g & (nage <= lifec)           # collision-eligible column
+        ngid = jax.lax.bitcast_convert_type(nb[8], jnp.int32).reshape(1, ch)
+
+        # --- (B, CH) pair tiles ----------------------------------------
+        dx = nb[0].reshape(1, ch) - mx
+        dy = nb[1].reshape(1, ch) - my
+        dz = nb[2].reshape(1, ch) - mz
         d2 = dx * dx + dy * dy + dz * dz
 
-        nage = nb[4].reshape(1, CH)
-        pair = (in_rng & mvalid & (nb[9].reshape(1, CH) > 0)
-                & (nb[8].reshape(1, CH) != mgid)
-                & (jnp.abs(nb[5].reshape(1, CH) - mi1) <= 1)
-                & (jnp.abs(nb[6].reshape(1, CH) - mi2) <= 1)
-                & (jnp.abs(nb[7].reshape(1, CH) - mi3) <= 1))
-        adult = madult & (nage >= kid)
+        if cell_mxu:
+            # exact in f32: integer coords, products < 2^24 for valid rows;
+            # invalid rows' huge coords survive the cancellation by margin
+            cn = jax.lax.dot_general(
+                mine[4:7], nb[4:7], (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)       # (B, CH)
+            cd2 = (cmm + nb[7].reshape(1, ch)) - 2.0 * cn
+        else:
+            e1 = nb[4].reshape(1, ch) - mi1
+            e2 = nb[5].reshape(1, ch) - mi2
+            e3 = nb[6].reshape(1, ch) - mi3
+            cd2 = e1 * e1 + e2 * e2 + e3 * e3
 
-        collide = (pair & adult & (d2 <= r2)
-                   & myoung & (nage <= lifec))
-        killed = jnp.max(jnp.where(
-            collide & (nb[8].reshape(1, CH) > mgid), 1.0, 0.0), axis=1)
-        touched = jnp.max(jnp.where(collide, 1.0, 0.0), axis=1)
-
+        # 27-stencil (dist^2 <= 3 on integer cell deltas) + self exclusion
+        pg = ((cd2 <= 3.5) & (ngid != mgid)) & (madult & row_g)
         dd = d2 + eps2
-        s = jnp.where(pair & adult,
-                      nb[3].reshape(1, CH) / jnp.sqrt(dd * dd * dd), 0.0)
-        ax = jnp.sum(dx * s, axis=1)
-        ay = jnp.sum(dy * s, axis=1)
-        az = jnp.sum(dz * s, axis=1)
+        rs = jax.lax.rsqrt(dd)
+        s = jnp.where(pg, rs * rs * rs, 0.0)
 
-        acc_ref[0, :] = acc_ref[0, :] + ax
-        acc_ref[1, :] = acc_ref[1, :] + ay
-        acc_ref[2, :] = acc_ref[2, :] + az
-        acc_ref[3, :] = jnp.maximum(acc_ref[3, :], killed)
-        acc_ref[4, :] = jnp.maximum(acc_ref[4, :], touched)
+        pc = (pg & (d2 <= r2)) & (myoung_adult & row_c)
+        gsel = jnp.where(pc, ngid, _IMIN)
+        imax_ref[0, :] = jnp.maximum(imax_ref[0, :],
+                                     jnp.max(gsel, axis=1))
+
+        if acc_mxu:
+            # A[k, i] = sum_j rhs[k, j] * s[i, j] with rhs rows
+            # (w, w*(x-x0), w*(y-y0), w*(z-z0)): positions are recentered
+            # on the block origin so the post-loop ax = A[1] - (mx-x0)*A[0]
+            # subtraction cancels small numbers, not box-sized ones
+            x0 = mine[0, 0]
+            y0 = mine[1, 0]
+            z0 = mine[2, 0]
+            w_row = nb[10:11]
+            rhs = jnp.concatenate([
+                w_row,
+                nb[11:12] - x0 * w_row,
+                nb[12:13] - y0 * w_row,
+                nb[13:14] - z0 * w_row,
+            ], axis=0)                                    # (4, CH)
+            a4 = jax.lax.dot_general(
+                rhs, s, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)       # (4, B)
+            acc_ref[0:4, :] = acc_ref[0:4, :] + a4
+        else:
+            sw = s * nb[10].reshape(1, ch)
+            acc_ref[0, :] = acc_ref[0, :] + jnp.sum(dx * sw, axis=1)
+            acc_ref[1, :] = acc_ref[1, :] + jnp.sum(dy * sw, axis=1)
+            acc_ref[2, :] = acc_ref[2, :] + jnp.sum(dz * sw, axis=1)
         return 0
 
     jax.lax.fori_loop(0, nact, body, 0)
-    out_ref[:] = acc_ref[:]
+    if acc_mxu:
+        sw_sum = acc_ref[0, :]
+        out_ref[0, :] = acc_ref[1, :] - (mx.reshape(b) - mine[0, 0]) * sw_sum
+        out_ref[1, :] = acc_ref[2, :] - (my.reshape(b) - mine[1, 0]) * sw_sum
+        out_ref[2, :] = acc_ref[3, :] - (mz.reshape(b) - mine[2, 0]) * sw_sum
+    else:
+        out_ref[0:3, :] = acc_ref[0:3, :]
+    out_ref[3, :] = jax.lax.bitcast_convert_type(imax_ref[0, :], jnp.float32)
+    out_ref[4:8, :] = jnp.zeros((4, b), jnp.float32)
 
 
 def neighbor_pass_blocks(pos0, age0, w0, cell, alive, cfg: NBodyConfig,
-                         dims=None, ids=None, c_max: int | None = None
+                         dims=None, ids=None, c_max: int | None = None,
+                         ch: int | None = None, b: int | None = None,
+                         acc_mxu: bool = False, cell_mxu: bool = False,
                          ) -> Tuple[jax.Array, jax.Array, jax.Array,
                                     jax.Array, jax.Array, jax.Array,
                                     jax.Array]:
@@ -293,31 +359,37 @@ def neighbor_pass_blocks(pos0, age0, w0, cell, alive, cfg: NBodyConfig,
     max_cell_occupancy, per-cell counts, n_chunks_dropped) — same semantics
     as ``ops/neighbor.neighbor_pass`` plus the grid-build byproducts (no cell
     lists are materialized).  ``dims``/``ids``/``c_max`` as in
-    :func:`prepare`.  A nonzero ``n_chunks_dropped`` means some blocks'
-    stencils exceeded the chunk budget and interactions were LOST — callers
-    must surface it (``NBodyStats.n_listed_dropped``)."""
+    :func:`prepare`; ``ch``/``b``/``acc_mxu``/``cell_mxu`` select the tile
+    sizes and MXU-offload variants (defaults are the swept-best on v5e).
+    A nonzero ``n_chunks_dropped`` means some blocks' stencils exceeded the
+    chunk budget and interactions were LOST — callers must surface it
+    (``NBodyStats.n_listed_dropped``)."""
     c_max = C_MAX if c_max is None else c_max
+    ch = CH if ch is None else ch
+    b = B if b is None else b
     n = cell.shape[0]
-    snap, chunks, order, overflow, max_occ, counts, n_dropped = prepare(
-        pos0, age0, w0, cell, alive, cfg, dims=dims, ids=ids, c_max=c_max)
-    nb_blocks = n // B
+    snap, chunks, order, overflow_s, max_occ, counts, n_dropped = prepare(
+        pos0, age0, w0, cell, alive, cfg, dims=dims, ids=ids, c_max=c_max,
+        ch=ch, b=b)
+    nb_blocks = n // b
 
     out = pl.pallas_call(
-        functools.partial(_kernel, cfg),
+        functools.partial(_kernel, cfg, b, ch, acc_mxu, cell_mxu),
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
         grid=(nb_blocks,),
         in_specs=[
             pl.BlockSpec((1, c_max, 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((16, B), lambda i: (0, i),
+            pl.BlockSpec((16, b), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((8, B), lambda i: (0, i),
+        out_specs=pl.BlockSpec((8, b), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, CH), jnp.float32),
-            pltpu.VMEM((8, B), jnp.float32),
+            pltpu.VMEM((2, 16, ch), jnp.float32),
+            pltpu.VMEM((8, b), jnp.float32),
+            pltpu.VMEM((8, b), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
@@ -326,11 +398,18 @@ def neighbor_pass_blocks(pos0, age0, w0, cell, alive, cfg: NBodyConfig,
             transcendentals=0),
     )(chunks, snap[:, :n], snap)
 
-    # unsort with ONE row scatter (an N-row scatter costs ~45 ms at 2M on
-    # v5e regardless of row width; three separate ones cost three times that)
-    unsorted = jnp.zeros((n, 8), jnp.float32).at[order].set(
-        out.T, mode="drop", unique_indices=True)
-    acc = unsorted[:, 0:3]
-    kill = unsorted[:, 3] > 0
-    touch = unsorted[:, 4] > 0
+    # unsort by sorting on the forward permutation (all keys distinct): an
+    # (N,8) row SCATTER costs ~170 ms at 2M rows on v5e, this carrying sort
+    # ~10 ms.  The sorted-side overflow flag rides along as a free column.
+    _, ax, ay, az, gbits, ovf_f = jax.lax.sort(
+        (order, out[0], out[1], out[2], out[3],
+         overflow_s.astype(jnp.float32)),
+        num_keys=1, is_stable=False)
+    acc = jnp.stack([ax, ay, az], axis=1)
+    overflow = ovf_f > 0
+    gmax = jax.lax.bitcast_convert_type(gbits, jnp.int32)
+    gid_i = (jnp.arange(n, dtype=jnp.int32) if ids is None
+             else ids.astype(jnp.int32))
+    kill = gmax > gid_i
+    touch = gmax > _IMIN
     return acc, kill, touch, overflow, max_occ, counts, n_dropped

@@ -119,7 +119,9 @@ def make_pencil_step(cfg: NBodyConfig, spec: PencilSpec, mesh: Mesh):
     h1 = spec.halo1_capacity
     m = spec.migration_capacity
     ax3, ax1 = spec.axes
-    assert cfg.slots < (1 << 24), "global ids ride the blocks kernel in f32"
+    # global ids ride the blocks kernel as int32 BITCAST through an f32 row
+    # (ops/neighbor_blocks.py), so any int32 slot count is exact — no 2^24
+    # f32 limit applies
 
     def device_step(state: ParticleState, frame):
         a = jax.lax.axis_index(ax3)
@@ -318,9 +320,17 @@ def make_pencil_step(cfg: NBodyConfig, spec: PencilSpec, mesh: Mesh):
         check_vma=False,
     )
 
-    @jax.jit
+    step_jit = jax.jit(lambda state, frame: step_sharded(state, frame))
+
     def step_fn(state: ParticleState, frame: jax.Array):
-        return step_sharded(state, frame)
+        # jax 0.9 dispatch-cache recovery — see nbody_sharded.make_sharded_step
+        try:
+            return step_jit(state, frame)
+        except (IndexError, ValueError) as e:
+            if isinstance(e, ValueError) and "buffers" not in str(e):
+                raise
+            jax.clear_caches()
+            return step_jit(state, frame)
 
     def shard_state(state: ParticleState) -> ParticleState:
         sh = NamedSharding(mesh, pspec)

@@ -260,9 +260,22 @@ def make_sharded_step(cfg: NBodyConfig, spec: SlabSpec, mesh: Mesh):
         check_vma=False,
     )
 
-    @jax.jit
+    step_jit = jax.jit(lambda state, frame: step_sharded(state, frame))
+
     def step_fn(state: ParticleState, frame: jax.Array):
-        return step_sharded(state, frame)
+        # jax 0.9 dispatch-cache bug (tools/repro_jax_dispatch_bug.py): a
+        # cached executable's input avals/shardings can come back
+        # misassociated across the arg tree when several differently-
+        # signatured Pallas-bearing jits coexist — here it surfaces as an
+        # IndexError converting a misassigned NamedSharding for the scalar
+        # frame arg.  Same last-line recovery as api._step_once.
+        try:
+            return step_jit(state, frame)
+        except (IndexError, ValueError) as e:
+            if isinstance(e, ValueError) and "buffers" not in str(e):
+                raise
+            jax.clear_caches()
+            return step_jit(state, frame)
 
     def shard_state(state: ParticleState) -> ParticleState:
         sh = NamedSharding(mesh, pspec)

@@ -1,21 +1,25 @@
 """Break the 1M n-body frame into timed pieces on the real TPU.
 
 Methodology: each piece is its OWN jitted program dispatched k times
-back-to-back with one sync at the end; cost per call = slope between k and
-3k dispatches.  Whole-program dispatch cannot be dead-code-eliminated
-(fori_loop bodies can: XLA prunes anything the loop carry doesn't consume,
-which silently zeroed out an earlier version of this script).  The axon
-relay's ~25 ms sync cost amortizes across the k dispatches.
+back-to-back with one tiny host-readback sync at the end; cost per call =
+slope between k and 3k dispatches.  Whole-program dispatch cannot be
+dead-code-eliminated (fori_loop bodies can: XLA prunes anything the loop
+carry doesn't consume, which silently zeroed out an earlier version of
+this script).  block_until_ready is unreliable through the axon relay —
+sync by reading 8 elements back to the host; all results are held live
+until the sync so none can be cancelled.
 """
 
 from __future__ import annotations
 
+import functools
 import sys
 import time
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
@@ -24,21 +28,26 @@ from particlesystem_tpu.models import nbody  # noqa: E402
 from particlesystem_tpu.ops import neighbor_blocks as nbk  # noqa: E402
 
 
+def _sync(r):
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    np.asarray(jax.device_get(leaf.ravel()[:8]))
+
+
 def timed(name, f, *args, k1=3, k2=9):
     for _ in range(2):
         r = f(*args)
-    jax.block_until_ready(r)
+    _sync(r)
     ts = {}
     for k in (k1, k2, k1, k2):
         t0 = time.perf_counter()
-        for _ in range(k):
-            r = f(*args)
-        jax.block_until_ready(r)
+        rs = [f(*args) for _ in range(k)]
+        _sync(rs[-1])
         ts.setdefault(k, []).append(time.perf_counter() - t0)
+        del rs
     t1 = sum(ts[k1]) / len(ts[k1])
     t2 = sum(ts[k2]) / len(ts[k2])
     ms = (t2 - t1) / (k2 - k1) * 1e3
-    print(f"{name:24s} {ms:8.2f} ms")
+    print(f"{name:24s} {ms:8.2f} ms", flush=True)
     return ms
 
 
@@ -51,15 +60,14 @@ def main():
     step = jax.jit(partial(nbody.step, cfg=cfg, impl="blocks"))
     for f in range(3):
         state, stats = step(state, jnp.int32(f))
-    jax.block_until_ready(state.pos)
-    print("warmed; alive =", int(stats.n_alive))
+    _sync(state.pos)
+    print("warmed; alive =", int(stats.n_alive), flush=True)
 
     from particlesystem_tpu.ops.grid import coords_to_cell, wrap_positions
     pos_w, coords = wrap_positions(state.pos, cfg.grid)
     cell = jax.block_until_ready(coords_to_cell(coords, cfg.grid))
     pos0, age0, w0, alive = state.pos, state.age, state.w, state.alive
-    g = cfg.grid.grid_dim
-    num_cells = g * g * g
+    num_cells = cfg.grid.num_cells
     f32 = jnp.float32
 
     timed("full step (blocks)",
@@ -70,40 +78,33 @@ def main():
           pos0, age0, w0, cell, alive)
 
     @jax.jit
-    def sort_piece(cell, alive):
+    def carry_sort_piece(cell, alive, pos0, age0, w0):
+        iot = jnp.arange(n, dtype=jnp.int32)
         key = jnp.where(alive, cell, num_cells).astype(jnp.int32)
-        return jnp.argsort(key, stable=True).astype(jnp.int32)
-    order = jax.block_until_ready(sort_piece(cell, alive))
-    timed("argsort", sort_piece, cell, alive)
+        return jax.lax.sort(
+            (key, pos0[:, 0], pos0[:, 1], pos0[:, 2], age0, w0, iot),
+            num_keys=1, is_stable=True)
+    timed("carrying sort", carry_sort_piece, cell, alive, pos0, age0, w0)
+
+    skey = carry_sort_piece(cell, alive, pos0, age0, w0)[0]
+    _sync(skey)
 
     @jax.jit
-    def pack_piece(pos0, age0, w0):
-        z = jnp.zeros((n,), f32)
-        return jnp.stack([pos0[:, 0], pos0[:, 1], pos0[:, 2], w0, age0,
-                          z, z, z, z, z, z, z, z, z, z, z], axis=1)
-    packed_u = jax.block_until_ready(pack_piece(pos0, age0, w0))
-    timed("pack (N,16)", pack_piece, pos0, age0, w0)
-
-    timed("row gather (N,16)", jax.jit(lambda p, o: p[o]), packed_u, order)
-    timed("row gather + T", jax.jit(lambda p, o: p[o].T), packed_u, order)
-    timed("transpose only", jax.jit(lambda p: p.T + 0.0), packed_u)
-
-    # chunk-table arithmetic (everything in prepare except sort/pack/gather)
-    @jax.jit
-    def table_piece(cell, alive):
-        key = jnp.where(alive, cell, num_cells).astype(jnp.int32)
-        counts = jnp.bincount(key, length=num_cells + 1)
-        starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                  jnp.cumsum(counts).astype(jnp.int32)])
-        return counts, starts
-    timed("bincount+cumsum", table_piece, cell, alive)
+    def table_piece(skey):
+        starts = jnp.searchsorted(
+            skey, jnp.arange(num_cells + 2, dtype=jnp.int32))
+        iot = jnp.arange(n, dtype=jnp.int32)
+        first = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                 skey[1:] != skey[:-1]])
+        run_start = jax.lax.cummax(jnp.where(first, iot, 0))
+        return starts, iot - run_start
+    timed("starts+rank", table_piece, skey)
 
     # kernel alone (real snap/chunks from the warmed state)
-    snap, chunks, order2, overflow, max_occ, counts, nd = jax.jit(
+    snap, chunks, order, ovf_s, max_occ, counts, nd = jax.jit(
         partial(nbk.prepare, cfg=cfg))(pos0, age0, w0, cell, alive)
-    jax.block_until_ready(snap)
+    _sync(snap)
 
-    import functools
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -111,7 +112,7 @@ def main():
     def kernel_piece(snap, chunks):
         nb_blocks = n // nbk.B
         return pl.pallas_call(
-            functools.partial(nbk._kernel, cfg),
+            functools.partial(nbk._kernel, cfg, nbk.B, nbk.CH, False, False),
             out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
             grid=(nb_blocks,),
             in_specs=[
@@ -119,27 +120,30 @@ def main():
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((16, nbk.B), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((8, nbk.B), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((2, 16, nbk.CH), jnp.float32),
                 pltpu.VMEM((8, nbk.B), jnp.float32),
+                pltpu.VMEM((8, nbk.B), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )(chunks, snap[:, :n], snap)
-    out8 = jax.block_until_ready(kernel_piece(snap, chunks))
+    out8 = kernel_piece(snap, chunks)
+    _sync(out8)
     timed("pallas kernel", kernel_piece, snap, chunks)
 
     @jax.jit
-    def unsort_piece(out8, order):
-        return jnp.zeros((n, 8), f32).at[order].set(
-            out8.T, mode="drop", unique_indices=True)
-    timed("unsort scatter", unsort_piece, out8, order)
+    def unsort_piece(out8, order, ovf_s):
+        return jax.lax.sort(
+            (order, out8[0], out8[1], out8[2], out8[3],
+             ovf_s.astype(f32)), num_keys=1, is_stable=False)
+    timed("unsort carry-sort", unsort_piece, out8, order, ovf_s)
 
     uvec, fert = nbody.frame_fields(cfg, jnp.int32(5), state.tag)
-    jax.block_until_ready(uvec)
+    _sync(uvec)
     acc = jnp.zeros((n, 3), f32)
     kill = jnp.zeros((n,), bool)
 
