@@ -18,10 +18,19 @@ latency of the remote-attached TPU (~25 ms per round trip).
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+# persistent compile cache: re-runs start in seconds instead of recompiling
+# every signature through the axon relay (20-500 s each)
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
