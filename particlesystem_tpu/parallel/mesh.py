@@ -51,3 +51,14 @@ def mesh_2d(d3: int, d1: int, axes=("x", "y")) -> Mesh:
     if len(devs) < d3 * d1:
         raise ValueError(f"need {d3 * d1} devices, have {len(devs)}")
     return Mesh(np.array(devs[: d3 * d1]).reshape(d3, d1), axes)
+
+
+def mesh_3d(d3: int, d1: int, d2: int, axes=("x", "y", "z")) -> Mesh:
+    """3D ``(d3, d1, d2)`` mesh for the brick decomposition
+    (``parallel/nbody_brick.py``) — the full analog of the reference's
+    4x4x4 chunk ownership (``app_common.cu:150-232``)."""
+    devs = jax.devices()
+    n = d3 * d1 * d2
+    if len(devs) < n:
+        raise ValueError(f"need {n} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:n]).reshape(d3, d1, d2), axes)
