@@ -13,14 +13,66 @@ import sys
 
 
 def _cmd_nbody(args):
-    from .api import NBodySimulation
     from .core.config import GridSpec, NBodyConfig
 
     cfg = NBodyConfig(n_fill=args.particles,
                       grid=GridSpec(grid_dim=args.grid_dim))
+    if args.devices > 1:
+        _run_nbody_sharded(args, cfg)
+        return
+    from .api import NBodySimulation
+
     sim = NBodySimulation(cfg)
     sim.run(args.iterations, verbose=True)
     print(sim.timers.report())
+
+
+def _run_nbody_sharded(args, cfg):
+    """Multi-device n-body over the chosen spatial decomposition — the
+    analog of the reference's ``mpirun -n 2`` launch (``makefile:3-4``).
+    Initializes jax.distributed when launched under a multi-host
+    coordinator (PSTPU_* envs, see parallel/mesh.py)."""
+    import jax.numpy as jnp
+
+    from .models import nbody
+    from .parallel import mesh as meshmod
+
+    meshmod.maybe_init_distributed()
+    d = args.devices
+    if args.decomp == "slab":
+        from .parallel.nbody_sharded import (SlabSpec, distribute,
+                                             make_sharded_step)
+        spec = SlabSpec(n_devices=d, impl=args.impl)
+        mesh = meshmod.mesh_1d(d)
+        step_fn, shard_state = make_sharded_step(cfg, spec, mesh)
+    elif args.decomp == "pencil":
+        from .parallel.nbody_pencil import (PencilSpec, distribute,
+                                            make_pencil_step)
+        d3 = args.d3 or max(2, d // 2)
+        spec = PencilSpec(d3=d3, d1=d // d3, impl=args.impl)
+        mesh = meshmod.mesh_2d(spec.d3, spec.d1)
+        step_fn, shard_state = make_pencil_step(cfg, spec, mesh)
+    else:
+        from .parallel.nbody_brick import (BrickSpec, distribute,
+                                           make_brick_step)
+        d3 = args.d3 or 2
+        rest = d // d3
+        d1 = max(2, rest // 2) if rest > 1 else 1
+        spec = BrickSpec(d3=d3, d1=d1, d2=rest // d1, impl=args.impl)
+        mesh = meshmod.mesh_3d(spec.d3, spec.d1, spec.d2)
+        step_fn, shard_state = make_brick_step(cfg, spec, mesh)
+
+    init, dropped = distribute(nbody.init_fill(cfg), cfg, spec)
+    if dropped:
+        print(f"warning: {dropped} particles dropped at distribution")
+    state = shard_state(init)
+    for frame in range(args.iterations):
+        state, stats = step_fn(state, jnp.int32(frame))
+        print(f"iter {frame + 1}: alive={int(stats['n_alive'])} "
+              f"spawned={int(stats['n_spawned'])} "
+              f"halo_drop={int(stats['halo_dropped'])} "
+              f"mig_drop={int(stats['migration_dropped'])} "
+              f"max_cell={int(stats['max_cell_occupancy'])}")
 
 
 def _cmd_demo(args):
@@ -53,6 +105,14 @@ def main(argv=None):
     p.add_argument("--particles", type=int, default=1 << 20)
     p.add_argument("--grid-dim", type=int, default=16)
     p.add_argument("--iterations", type=int, default=10)
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard over N devices (the mpirun -n analog)")
+    p.add_argument("--decomp", choices=("slab", "pencil", "brick"),
+                   default="slab", help="spatial decomposition for --devices>1")
+    p.add_argument("--d3", type=int, default=0,
+                   help="devices along i3 for pencil/brick (0 = auto)")
+    p.add_argument("--impl", choices=("blocks", "dense"), default="blocks",
+                   help="per-device neighbor pass")
     p.set_defaults(fn=_cmd_nbody)
 
     p = sub.add_parser("demo", help="run an emitter demo scene")

@@ -169,6 +169,7 @@ class NBodySimulation:
         self.last_stats = None
         self.n_degraded_frames = 0  # frames whose neighbor pass truncated
         self._width = 0  # 0 = full cell_capacity (always exact)
+        self._step_jits = {}  # (width, impl) -> wrapper jit (see _step_fn)
 
     def _pick_width(self, max_occ: int) -> int:
         """Bucketized list width with 25% headroom over the last observed
@@ -183,25 +184,38 @@ class NBodySimulation:
                 return min(b, self.cfg.cell_capacity)
         return 0  # full capacity
 
+    def _step_fn(self):
+        """Per-(width, impl) WRAPPER jit around ``nbody.step``.
+
+        jax 0.9 dispatch-cache bug management (minimal repro:
+        tools/repro_jax_dispatch_bug.py): dispatching the raw
+        ``static_argnums`` module-level ``nbody.step`` poisons every
+        subsequently-compiled program in the process — their re-dispatches
+        return buffers that fail with a backend InvalidArgument on first
+        dereference (observed with the staged ``profile_frame`` pieces).
+        Nested wrapper jits (``jax.jit`` around the already-jitted step)
+        collapse to one program at trace time and coexist cleanly with any
+        number of other jits, so every consumer here goes through these
+        wrappers and the raw module jit is never dispatched by the driver."""
+        key = (self._width, self.impl)
+        fn = self._step_jits.get(key)
+        if fn is None:
+            w, impl, cfg = self._width, self.impl, self.cfg
+            fn = jax.jit(lambda s, fr: nbody.step(s, fr, cfg, w, impl))
+            self._step_jits[key] = fn
+        return fn
+
     def _step_once(self, state, frame: int):
-        # All consumers (run, validate, tests) go through the ONE module-
-        # level jit ``nbody.step``: jax 0.9 has a dispatch-cache bug where a
-        # SECOND differently-signatured jit wrapping the same Pallas-bearing
-        # step fails on its second call with "supplied N buffers but
-        # compiled program expected M" (the lowered in_avals come back
-        # misassociated across the arg tree).  Deterministic minimal repro:
-        # tools/repro_jax_dispatch_bug.py.  The catch below is a last-line
-        # recovery should another trigger exist; delete both when the repro
-        # prints OK on a newer jax.
+        # last-line recovery for the residual "supplied N buffers" flake
+        # (see _step_fn); delete when the repro prints OK on a newer jax
+        fn = self._step_fn()
         try:
-            return nbody.step(state, jnp.int32(frame), self.cfg,
-                              self._width, self.impl)
+            return fn(state, jnp.int32(frame))
         except ValueError as e:
             if "buffers" not in str(e):
                 raise
             jax.clear_caches()
-            return nbody.step(state, jnp.int32(frame), self.cfg,
-                              self._width, self.impl)
+            return fn(state, jnp.int32(frame))
 
     def run(self, num_iterations: int = 10, verbose: bool = False):
         for _ in range(num_iterations):
@@ -239,6 +253,119 @@ class NBodySimulation:
                       f"width={self._width or self.cfg.cell_capacity}")
         return self.last_stats
 
+    def profile_frame(self, k1: int = 2, k2: int = 6) -> dict:
+        """Stage-by-stage timing of one frame at the CURRENT state — the
+        structured equivalent of the reference's per-iteration
+        ``total / init_iframe / build_grid / calc_forces`` printout
+        (``particleSystem.cpp:1927``); INIT_IFRAME has no cost here (bins
+        are rebuilt functionally).  Stages for the production "blocks" impl:
+
+        * ``rng_fields``  — per-frame random field generation
+        * ``cell_ids``    — torus wrap + cell id assignment
+        * ``build_grid``  — carrying sort + chunk-table build
+          (the BUILD_GRID analog, ``particleSystem.cpp:1468-1537``)
+        * ``calc_forces`` — the cluster-pair Pallas kernel
+          (``particleSystem.cpp:1120-1383`` analog)
+        * ``unsort``      — inverse-permutation carrying sort
+        * ``lifecycle``   — death/survive/integrate/spawn masked updates
+        * ``full_frame``  — the whole fused step for cross-checking
+
+        Each stage is timed in its OWN subprocess as that process's first
+        and only jit, dispatched ``k1``/``k2`` times (cost = dispatch-count
+        slope with host-readback sync).  Why subprocesses: jax 0.9's
+        dispatch-cache misassociation (tools/repro_jax_dispatch_bug.py) is
+        process-global — after the Pallas-bearing step has run, any newly
+        created jit fails from its SECOND dispatch on, so staged timing
+        inside this process is impossible; first calls do work, which is
+        how this method computes each stage's inputs to hand over.
+        Results are recorded into ``self.timers`` (phases ``frame/<stage>``)
+        and returned as {stage: ms}.  Does not advance ``self.state``."""
+        import dataclasses as _dc
+        import json as _json
+        import os
+        import subprocess
+        import sys
+        import tempfile
+
+        from .models import nbody as _nbody
+        from .ops import neighbor_blocks as nbk
+        from .ops.grid import coords_to_cell, wrap_positions
+
+        cfg = self.cfg
+        state, frame = self.state, jnp.int32(self.frame)
+
+        def once(f, *args):
+            """Single dispatch with the last-line recovery (first calls of
+            any jit are reliable; see the module-level bug notes)."""
+            try:
+                r = jax.jit(f)(*args)
+                jax.block_until_ready(jax.tree_util.tree_leaves(r)[0])
+                return r
+            except (ValueError, jax.errors.JaxRuntimeError) as e:
+                if isinstance(e, ValueError) and "buffers" not in str(e):
+                    raise
+                jax.clear_caches()
+                r = jax.jit(f)(*args)
+                jax.block_until_ready(jax.tree_util.tree_leaves(r)[0])
+                return r
+
+        # ---- compute every stage's inputs with single dispatches --------
+        arrays = dict(pos=state.pos, vel=state.vel, acc=state.acc,
+                      w=state.w, age=state.age, life=state.life,
+                      alive=state.alive, parent=state.parent,
+                      tag=state.tag, frame=frame)
+        uvec, fert = once(lambda fr, t: _nbody.frame_fields(cfg, fr, t),
+                          frame, state.tag)
+        arrays.update(uvec=uvec, fert=fert)
+        cell = once(lambda p: coords_to_cell(
+            wrap_positions(p, cfg.grid)[1], cfg.grid), state.pos)
+        arrays.update(cell=cell)
+        stages = ["rng_fields", "cell_ids", "build_grid", "lifecycle",
+                  "full_frame"]
+        if self.impl == "blocks":
+            snap, chunks, order, ovf_s, *_rest = once(
+                lambda *a: nbk.prepare(*a, cfg), state.pos, state.age,
+                state.w, cell, state.alive)
+            n = state.slots
+            kout = once(lambda s, c: nbk.kernel_call(cfg, s, c, n),
+                        snap, chunks)
+            arrays.update(snap=snap, chunks=chunks, order=order,
+                          ovf_s=ovf_s, kout=kout)
+            stages[3:3] = ["calc_forces", "unsort"]
+
+        # ---- one child process per stage --------------------------------
+        cfg_json = _json.dumps(_dc.asdict(cfg))
+        out: dict = {}
+        with tempfile.TemporaryDirectory() as td:
+            npz = os.path.join(td, "stage_inputs.npz")
+            np.savez(npz, **{k: np.asarray(v) for k, v in arrays.items()})
+            env = dict(os.environ)
+            if jax.default_backend() == "cpu":
+                # children must follow the parent onto CPU (the container's
+                # sitecustomize would otherwise pin them to the TPU plugin)
+                env["JAX_PLATFORMS"] = "cpu"
+                env["PALLAS_AXON_POOL_IPS"] = ""
+            for stage in stages:
+                proc = subprocess.run(
+                    [sys.executable, "-m",
+                     "particlesystem_tpu.utils.profile_stage",
+                     "--npz", npz, "--cfg", cfg_json, "--stage", stage,
+                     "--width", str(self._width), "--impl", self.impl,
+                     "--k1", str(k1), "--k2", str(k2)],
+                    capture_output=True, text=True, env=env,
+                    cwd=os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__))))
+                if proc.returncode != 0:
+                    raise RuntimeError(
+                        f"stage {stage} profiling failed:\n{proc.stderr[-2000:]}")
+                line = proc.stdout.strip().splitlines()[-1]
+                out[stage] = float(_json.loads(line)["ms"])
+
+        for name, ms in out.items():
+            self.timers.totals[f"frame/{name}"] += ms / 1e3
+            self.timers.counts[f"frame/{name}"] += 1
+        return out
+
     def save(self, path: str) -> None:
         checkpoint.save(path, self.state,
                         meta=dict(frame=self.frame,
@@ -266,33 +393,31 @@ class NBodySimulation:
         ora = NpState.from_jax(dev)
         worst = 0.0
         events_match = True
-        # Device side runs the PRODUCTION impl through the shared
-        # ``nbody.step`` jit (one signature process-wide, see _step_once);
-        # the oracle gets the same per-frame random fields recomputed
-        # separately — deterministic threefry keyed on (seed, frame, tag),
-        # so both sides see identical draws.
+        # Device side runs the PRODUCTION impl through the instance
+        # wrapper jits (see _step_fn — the raw module jit is never
+        # dispatched); the oracle gets the same per-frame random fields
+        # recomputed separately — deterministic threefry keyed on
+        # (seed, frame, tag), so both sides see identical draws.
         fields_fn = jax.jit(lambda f, t: nbody.frame_fields(self.cfg, f, t))
-        for f in range(self.frame, self.frame + frames):
-            uvec, fert = fields_fn(jnp.int32(f), dev.tag)
-            try:
-                dev, stats = nbody.step(dev, jnp.int32(f), self.cfg,
-                                        0, self.impl)
-            except ValueError as e:  # same bug as _step_once; retrace
-                if "buffers" not in str(e):
-                    raise
-                jax.clear_caches()
-                dev, stats = nbody.step(dev, jnp.int32(f), self.cfg,
-                                        0, self.impl)
-            ora, ostats = oracle_nbody.step(ora, np.asarray(uvec),
-                                            np.asarray(fert), f, self.cfg)
-            for k, v in ostats.items():
-                if int(getattr(stats, k)) != v:
+        saved_width = self._width
+        self._width = 0  # validation always runs exact full width
+        try:
+            for f in range(self.frame, self.frame + frames):
+                uvec, fert = fields_fn(jnp.int32(f), dev.tag)
+                dev, stats = self._step_once(dev, f)
+                ora, ostats = oracle_nbody.step(ora, np.asarray(uvec),
+                                                np.asarray(fert), f,
+                                                self.cfg)
+                for k, v in ostats.items():
+                    if int(getattr(stats, k)) != v:
+                        events_match = False
+                if not np.array_equal(np.asarray(dev.alive), ora.alive):
                     events_match = False
-            if not np.array_equal(np.asarray(dev.alive), ora.alive):
-                events_match = False
-            m = np.asarray(dev.alive)
-            if m.any():
-                worst = max(worst, float(np.abs(
-                    np.asarray(dev.pos)[m] - ora.pos[m]).max()))
+                m = np.asarray(dev.alive)
+                if m.any():
+                    worst = max(worst, float(np.abs(
+                        np.asarray(dev.pos)[m] - ora.pos[m]).max()))
+        finally:
+            self._width = saved_width
         return {"events_match": events_match,
                 "max_position_deviation": worst, "frames": frames}

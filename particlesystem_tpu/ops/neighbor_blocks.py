@@ -348,32 +348,18 @@ def _kernel(cfg: NBodyConfig, b: int, ch: int, acc_mxu: bool, cell_mxu: bool,
     out_ref[4:8, :] = jnp.zeros((4, b), jnp.float32)
 
 
-def neighbor_pass_blocks(pos0, age0, w0, cell, alive, cfg: NBodyConfig,
-                         dims=None, ids=None, c_max: int | None = None,
-                         ch: int | None = None, b: int | None = None,
-                         acc_mxu: bool = False, cell_mxu: bool = False,
-                         ) -> Tuple[jax.Array, jax.Array, jax.Array,
-                                    jax.Array, jax.Array, jax.Array,
-                                    jax.Array]:
-    """Full pass: returns per-slot (acc (N,3), kill, touch, overflow,
-    max_cell_occupancy, per-cell counts, n_chunks_dropped) — same semantics
-    as ``ops/neighbor.neighbor_pass`` plus the grid-build byproducts (no cell
-    lists are materialized).  ``dims``/``ids``/``c_max`` as in
-    :func:`prepare`; ``ch``/``b``/``acc_mxu``/``cell_mxu`` select the tile
-    sizes and MXU-offload variants (defaults are the swept-best on v5e).
-    A nonzero ``n_chunks_dropped`` means some blocks' stencils exceeded the
-    chunk budget and interactions were LOST — callers must surface it
-    (``NBodyStats.n_listed_dropped``)."""
+def kernel_call(cfg: NBodyConfig, snap, chunks, n: int,
+                c_max: int | None = None, ch: int | None = None,
+                b: int | None = None, acc_mxu: bool = False,
+                cell_mxu: bool = False) -> jax.Array:
+    """Invoke the Pallas cluster-pair kernel on prepared inputs; returns the
+    raw sorted-order (8, n) output (rows 0-2 acc, row 3 gmax bits).  Shared
+    by :func:`neighbor_pass_blocks` and the phase profilers."""
     c_max = C_MAX if c_max is None else c_max
     ch = CH if ch is None else ch
     b = B if b is None else b
-    n = cell.shape[0]
-    snap, chunks, order, overflow_s, max_occ, counts, n_dropped = prepare(
-        pos0, age0, w0, cell, alive, cfg, dims=dims, ids=ids, c_max=c_max,
-        ch=ch, b=b)
     nb_blocks = n // b
-
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kernel, cfg, b, ch, acc_mxu, cell_mxu),
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
         grid=(nb_blocks,),
@@ -398,9 +384,12 @@ def neighbor_pass_blocks(pos0, age0, w0, cell, alive, cfg: NBodyConfig,
             transcendentals=0),
     )(chunks, snap[:, :n], snap)
 
-    # unsort by sorting on the forward permutation (all keys distinct): an
-    # (N,8) row SCATTER costs ~170 ms at 2M rows on v5e, this carrying sort
-    # ~10 ms.  The sorted-side overflow flag rides along as a free column.
+
+def unsort_outputs(out, order, overflow_s, ids=None):
+    """Apply the inverse permutation to the kernel output by sorting on the
+    forward permutation (see :func:`neighbor_pass_blocks`); returns
+    (acc (N,3), kill, touch, overflow)."""
+    n = order.shape[0]
     _, ax, ay, az, gbits, ovf_f = jax.lax.sort(
         (order, out[0], out[1], out[2], out[3],
          overflow_s.astype(jnp.float32)),
@@ -412,4 +401,37 @@ def neighbor_pass_blocks(pos0, age0, w0, cell, alive, cfg: NBodyConfig,
              else ids.astype(jnp.int32))
     kill = gmax > gid_i
     touch = gmax > _IMIN
+    return acc, kill, touch, overflow
+
+
+def neighbor_pass_blocks(pos0, age0, w0, cell, alive, cfg: NBodyConfig,
+                         dims=None, ids=None, c_max: int | None = None,
+                         ch: int | None = None, b: int | None = None,
+                         acc_mxu: bool = False, cell_mxu: bool = False,
+                         ) -> Tuple[jax.Array, jax.Array, jax.Array,
+                                    jax.Array, jax.Array, jax.Array,
+                                    jax.Array]:
+    """Full pass: returns per-slot (acc (N,3), kill, touch, overflow,
+    max_cell_occupancy, per-cell counts, n_chunks_dropped) — same semantics
+    as ``ops/neighbor.neighbor_pass`` plus the grid-build byproducts (no cell
+    lists are materialized).  ``dims``/``ids``/``c_max`` as in
+    :func:`prepare`; ``ch``/``b``/``acc_mxu``/``cell_mxu`` select the tile
+    sizes and MXU-offload variants (defaults are the swept-best on v5e).
+    A nonzero ``n_chunks_dropped`` means some blocks' stencils exceeded the
+    chunk budget and interactions were LOST — callers must surface it
+    (``NBodyStats.n_listed_dropped``)."""
+    c_max = C_MAX if c_max is None else c_max
+    ch = CH if ch is None else ch
+    b = B if b is None else b
+    n = cell.shape[0]
+    snap, chunks, order, overflow_s, max_occ, counts, n_dropped = prepare(
+        pos0, age0, w0, cell, alive, cfg, dims=dims, ids=ids, c_max=c_max,
+        ch=ch, b=b)
+    out = kernel_call(cfg, snap, chunks, n, c_max=c_max, ch=ch, b=b,
+                      acc_mxu=acc_mxu, cell_mxu=cell_mxu)
+    # unsort by sorting on the forward permutation (all keys distinct): an
+    # (N,8) row SCATTER costs ~170 ms at 2M rows on v5e, the carrying sort
+    # ~10 ms.  The sorted-side overflow flag rides along as a free column.
+    acc, kill, touch, overflow = unsort_outputs(out, order, overflow_s,
+                                                ids=ids)
     return acc, kill, touch, overflow, max_occ, counts, n_dropped

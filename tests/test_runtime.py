@@ -59,6 +59,24 @@ def test_nbody_simulation_driver(tmp_path):
     assert "step" in sim.timers.summary()
 
 
+def test_nbody_profile_frame():
+    """Intra-frame phase metrics (the reference's per-iteration
+    init_iframe/build_grid/calc_forces printout, particleSystem.cpp:1927):
+    every stage must report, land in the timers, and not advance state."""
+    cfg = NBodyConfig(n_fill=500, capacity=2048,
+                      grid=GridSpec(grid_dim=8, chunk_factor=2),
+                      particle_life=2.0, seed=5)
+    sim = NBodySimulation(cfg, impl="blocks")
+    sim.run(2)
+    frame_before = sim.frame
+    out = sim.profile_frame(k1=1, k2=2)
+    assert set(out) == {"rng_fields", "cell_ids", "build_grid",
+                        "calc_forces", "unsort", "lifecycle", "full_frame"}
+    assert sim.frame == frame_before
+    rep = sim.timers.report()
+    assert "frame/calc_forces" in rep and "frame/build_grid" in rep
+
+
 def test_checkpoint_shape_mismatch(tmp_path):
     a = {"x": jnp.zeros((4,)), "y": jnp.ones((2, 2))}
     path = str(tmp_path / "c.npz")
