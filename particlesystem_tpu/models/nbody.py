@@ -162,16 +162,48 @@ def lifecycle_update(state: ParticleState, pos_w: jax.Array,
     tgt = jnp.where(ok_row, free_sorted[:e], n)
     src = jnp.clip(parents, 0, n - 1)
 
-    st = lambda a, v: a.at[tgt].set(v, mode="drop", unique_indices=True)
-    pos = st(pos, pos[src])          # child at parent's new pos
-    vel = st(vel, -evel[src])
-    accf = st(accf, 0.0)
-    age = st(age, 0.0)
-    lifef = st(lifef, fert[src])
-    w = st(w, cfg.weight)
-    parent = st(parent, False)
-    alive_out = st(alive2, True)
-    tagf = st(state.tag, rng.tag_mix(state.tag[src], frame))
+    # ONE combined row gather + ONE combined row scatter: gather/scatter
+    # cost on v5e is per update-ROW (~30-90 ns each) regardless of row
+    # width, so the per-field E-row gathers and nine E-row field scatters
+    # each collapse ~8x into single wide-row ops (a few extra full passes
+    # over the state ~ 0.5 ms at 2M).  Bools ride as 0/1 f32, the uint32
+    # tag as an exact bitcast.
+    f = jnp.float32
+    bc32 = lambda a: jax.lax.bitcast_convert_type(a, f)
+    src_mat = jnp.stack([
+        pos[:, 0], pos[:, 1], pos[:, 2],
+        evel[:, 0], evel[:, 1], evel[:, 2],
+        fert, bc32(state.tag),
+    ], axis=1)                                  # (N, 8)
+    picked = src_mat[src]                       # (E, 8): one row gather
+    tag_src = jax.lax.bitcast_convert_type(picked[:, 7], jnp.uint32)
+    child_tag = rng.tag_mix(tag_src, frame)
+    zcol = jnp.zeros((e,), f)
+    child_rows = jnp.stack([
+        picked[:, 0], picked[:, 1], picked[:, 2],
+        -picked[:, 3], -picked[:, 4], -picked[:, 5],
+        zcol, zcol, zcol,                       # acc
+        jnp.full((e,), cfg.weight, f), zcol,    # w, age
+        picked[:, 6], jnp.ones((e,), f), zcol,  # life, alive, parent
+        bc32(child_tag), zcol,
+    ], axis=1)                                  # (E, 16)
+    base = jnp.stack([
+        pos[:, 0], pos[:, 1], pos[:, 2],
+        vel[:, 0], vel[:, 1], vel[:, 2],
+        accf[:, 0], accf[:, 1], accf[:, 2],
+        w, age, lifef, alive2.astype(f), parent.astype(f),
+        bc32(state.tag), jnp.zeros((n,), f),
+    ], axis=1)                                  # (N, 16)
+    merged = base.at[tgt].set(child_rows, mode="drop", unique_indices=True)
+    pos = merged[:, 0:3]
+    vel = merged[:, 3:6]
+    accf = merged[:, 6:9]
+    w = merged[:, 9]
+    age = merged[:, 10]
+    lifef = merged[:, 11]
+    alive_out = merged[:, 12] > 0.5
+    parent = merged[:, 13] > 0.5
+    tagf = jax.lax.bitcast_convert_type(merged[:, 14], jnp.uint32)
 
     out = ParticleState(pos=pos, vel=vel, acc=accf, w=w, age=age,
                         life=lifef, alive=alive_out, parent=parent, tag=tagf)
