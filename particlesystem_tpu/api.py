@@ -9,8 +9,7 @@ with per-phase timing but no per-frame host syncs).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .config import EmitterSceneConfig, NBodyConfig
+from .config import NBodyConfig
 
 
 @jax.tree_util.register_dataclass

@@ -13,7 +13,6 @@ accumulation-order tolerance.
 
 from __future__ import annotations
 
-import dataclasses
 
 import numpy as np
 

@@ -140,10 +140,14 @@ def ring_spawn(fields: Fields, rows: Fields, valid: jax.Array,
 
     Each field has ``n_real + S`` entries; the trailing S form a shadow
     scratch region so the contiguous window write never needs a dynamic
-    width.  Valid rows are compacted to a prefix, written at the cursor; the
-    part that crossed the end is folded onto the head; the shadow is cleared
-    (a stale copy would keep ghost particles alive).  Slots are reused in
-    spawn order — oldest spawns are replaced when the scene saturates.
+    width.  Valid rows are compacted to a prefix (ONE (S, 8) row scatter —
+    scatter cost is dominated by per-op overhead at this size, so eight
+    per-field scatters cost ~8x one), written at the cursor; the part that
+    crossed the end is folded onto the head and the shadow cleared (a stale
+    copy would keep ghost particles alive) — but only on the rare
+    ring-wrap frames (~once per n_real/spawn_rate frames), behind a
+    ``lax.cond``.  Slots are reused in spawn order — oldest spawns are
+    replaced when the scene saturates.
     """
     s = rows[0].shape[0]
     assert fields[0].shape[0] == n_real + s, (fields[0].shape, n_real, s)
@@ -153,21 +157,31 @@ def ring_spawn(fields: Fields, rows: Fields, valid: jax.Array,
     col = jnp.arange(s, dtype=jnp.int32)
     wrapped = cursor + nv - n_real
 
-    out = []
-    for f, r in zip(fields, rows):
-        rc = jnp.zeros((s,), jnp.float32).at[compact_tgt].set(
-            r, mode="drop", unique_indices=True)
+    rows8 = jnp.stack(rows, axis=1)                      # (S, 8)
+    rc8 = jnp.zeros((s, 8), jnp.float32).at[compact_tgt].set(
+        rows8, mode="drop", unique_indices=True)
+
+    written = []
+    for i, f in enumerate(fields):
         window = jax.lax.dynamic_slice(f, (cursor,), (s,))
-        window = jnp.where(col < nv, rc, window)
-        f = jax.lax.dynamic_update_slice(f, window, (cursor,))
-        shadow = jax.lax.dynamic_slice(f, (n_real,), (s,))
-        head = jax.lax.dynamic_slice(f, (0,), (s,))
-        head = jnp.where(col < wrapped, shadow, head)
-        f = jax.lax.dynamic_update_slice(f, head, (0,))
-        f = jax.lax.dynamic_update_slice(f, jnp.zeros((s,), jnp.float32),
-                                         (n_real,))
-        out.append(f)
-    return tuple(out), (cursor + nv) % n_real
+        window = jnp.where(col < nv, rc8[:, i], window)
+        written.append(jax.lax.dynamic_update_slice(f, window, (cursor,)))
+    written = tuple(written)
+
+    def fold_wrap(fs):
+        out = []
+        for f in fs:
+            shadow = jax.lax.dynamic_slice(f, (n_real,), (s,))
+            head = jax.lax.dynamic_slice(f, (0,), (s,))
+            head = jnp.where(col < wrapped, shadow, head)
+            f = jax.lax.dynamic_update_slice(f, head, (0,))
+            f = jax.lax.dynamic_update_slice(
+                f, jnp.zeros((s,), jnp.float32), (n_real,))
+            out.append(f)
+        return tuple(out)
+
+    written = jax.lax.cond(wrapped > 0, fold_wrap, lambda fs: fs, written)
+    return written, (cursor + nv) % n_real
 
 
 def pack_spawn_rows(spawn) -> Fields:
