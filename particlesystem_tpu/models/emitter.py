@@ -69,56 +69,66 @@ def spawn_fields(cfg: EmitterSceneConfig, frame: jax.Array,
                  accum: jax.Array, salt=0) -> Tuple[SpawnRows, jax.Array]:
     """Generate this frame's spawn rows and the updated fractional-rate
     accumulators (one float per emitter).  ``salt`` decorrelates parallel
-    streams (e.g. the device index under data-parallel sharding)."""
-    rows_pos, rows_vel, rows_life, rows_w, rows_valid = [], [], [], [], []
-    new_accum = []
-    base = jax.random.fold_in(rng.frame_key(cfg.seed, frame, rng.EMIT), salt)
-    for ei, e in enumerate(cfg.emitters):
-        s = emitter_budget(e, cfg.dt)
-        key = jax.random.fold_in(base, ei)
-        u = jax.random.uniform(key, (s, 8), jnp.float32)
+    streams (e.g. the device index under data-parallel sharding).
 
-        want = accum[ei] + jnp.float32(e.rate * cfg.dt)
-        n = jnp.floor(want)
-        new_accum.append(want - n)
-        valid = jnp.arange(s, dtype=jnp.float32) < n
-
-        # position: uniform in a ball of e.radius around e.pos
-        dirs = rng.random_unit_vectors(jax.random.fold_in(key, 1), s)
-        r = e.radius * jnp.cbrt(u[:, 0])
-        pos = jnp.asarray(e.pos, jnp.float32) + dirs * r[:, None]
-
-        # velocity: cone around e.direction
-        basis = jnp.asarray(_basis(e.direction))
-        theta = e.cone_angle * jnp.sqrt(u[:, 1])
-        phi = 2.0 * jnp.pi * u[:, 2]
-        dirv = (jnp.cos(theta)[:, None] * basis[0]
-                + (jnp.sin(theta) * jnp.cos(phi))[:, None] * basis[1]
-                + (jnp.sin(theta) * jnp.sin(phi))[:, None] * basis[2])
-        speed = e.speed * (1.0 + e.speed_jitter * (2.0 * u[:, 3] - 1.0))
-        vel = dirv * speed[:, None]
-
-        life = e.life_min + u[:, 4] * (e.life_max - e.life_min)
-
-        rows_pos.append(pos)
-        rows_vel.append(vel)
-        rows_life.append(life)
-        rows_w.append(jnp.full((s,), e.weight, jnp.float32))
-        rows_valid.append(valid)
-
+    The RNG draws stay PER EMITTER (counter-based keys, identical to the
+    numpy oracle draw-for-draw), but the downstream sampling math runs
+    ONCE on the concatenated rows with per-row static parameter columns —
+    elementwise-identical values, a fraction of the kernel launches for
+    multi-emitter scenes."""
     if not cfg.emitters:
         z3 = jnp.zeros((1, 3), jnp.float32)
         z1 = jnp.zeros((1,), jnp.float32)
         return (SpawnRows(z3, z3, z1, z1, jnp.zeros((1,), jnp.bool_)),
                 accum)
 
-    rows = SpawnRows(
-        pos=jnp.concatenate(rows_pos),
-        vel=jnp.concatenate(rows_vel),
-        life=jnp.concatenate(rows_life),
-        w=jnp.concatenate(rows_w),
-        valid=jnp.concatenate(rows_valid),
-    )
+    base = jax.random.fold_in(rng.frame_key(cfg.seed, frame, rng.EMIT), salt)
+    us, dirs_l, valids, new_accum = [], [], [], []
+    for ei, e in enumerate(cfg.emitters):
+        s = emitter_budget(e, cfg.dt)
+        key = jax.random.fold_in(base, ei)
+        us.append(jax.random.uniform(key, (s, 8), jnp.float32))
+        dirs_l.append(rng.random_unit_vectors(jax.random.fold_in(key, 1), s))
+        want = accum[ei] + jnp.float32(e.rate * cfg.dt)
+        n = jnp.floor(want)
+        new_accum.append(want - n)
+        valids.append(jnp.arange(s, dtype=jnp.float32) < n)
+
+    # static per-row parameter columns (trace-time numpy constants)
+    def per_row(getter):
+        cols = [np.broadcast_to(
+            np.asarray(getter(e), np.float32),
+            ((emitter_budget(e, cfg.dt),) + np.shape(getter(e))))
+            for e in cfg.emitters]
+        return jnp.asarray(np.concatenate(cols))
+
+    u = jnp.concatenate(us)                       # (S, 8)
+    dirs = jnp.concatenate(dirs_l)                # (S, 3)
+    valid = jnp.concatenate(valids)
+    pos0 = per_row(lambda e: e.pos)               # (S, 3)
+    radius = per_row(lambda e: e.radius)          # (S,)
+    b = [per_row(lambda e, i=i: _basis(e.direction)[i]) for i in range(3)]
+    cone = per_row(lambda e: e.cone_angle)
+    speed0 = per_row(lambda e: e.speed)
+    jitter = per_row(lambda e: e.speed_jitter)
+    lmin = per_row(lambda e: e.life_min)
+    lspan = per_row(lambda e: e.life_max - e.life_min)
+    weight = per_row(lambda e: e.weight)
+
+    # position: uniform in a ball of radius around pos0
+    r = radius * jnp.cbrt(u[:, 0])
+    pos = pos0 + dirs * r[:, None]
+    # velocity: cone around the emitter direction
+    theta = cone * jnp.sqrt(u[:, 1])
+    phi = 2.0 * jnp.pi * u[:, 2]
+    dirv = (jnp.cos(theta)[:, None] * b[0]
+            + (jnp.sin(theta) * jnp.cos(phi))[:, None] * b[1]
+            + (jnp.sin(theta) * jnp.sin(phi))[:, None] * b[2])
+    speed = speed0 * (1.0 + jitter * (2.0 * u[:, 3] - 1.0))
+    vel = dirv * speed[:, None]
+    life = lmin + u[:, 4] * lspan
+
+    rows = SpawnRows(pos=pos, vel=vel, life=life, w=weight, valid=valid)
     return rows, jnp.stack(new_accum)
 
 
