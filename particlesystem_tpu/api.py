@@ -21,6 +21,7 @@ from .models import nbody
 from .runtime import checkpoint
 from .runtime.engine import PackedEngine
 from .runtime.readback import AsyncReadback
+from .utils.dispatchbug import recovering_call
 from .utils.timers import PhaseTimers
 
 
@@ -205,16 +206,9 @@ class NBodySimulation:
         return fn
 
     def _step_once(self, state, frame: int):
-        # last-line recovery for the residual "supplied N buffers" flake
-        # (see _step_fn); delete when the repro prints OK on a newer jax
-        fn = self._step_fn()
-        try:
-            return fn(state, jnp.int32(frame))
-        except ValueError as e:
-            if "buffers" not in str(e):
-                raise
-            jax.clear_caches()
-            return fn(state, jnp.int32(frame))
+        # last-line recovery for the residual dispatch-cache flake (see
+        # _step_fn and utils/dispatchbug.py)
+        return recovering_call(self._step_fn(), state, jnp.int32(frame))
 
     def run(self, num_iterations: int = 10, verbose: bool = False):
         for _ in range(num_iterations):
@@ -295,18 +289,19 @@ class NBodySimulation:
 
         def once(f, *args):
             """Single dispatch with the last-line recovery (first calls of
-            any jit are reliable; see the module-level bug notes)."""
+            any jit are reliable; see utils/dispatchbug.py)."""
+            def dispatch():
+                r = jax.jit(f)(*args)
+                jax.block_until_ready(jax.tree_util.tree_leaves(r)[0])
+                return r
             try:
-                r = jax.jit(f)(*args)
-                jax.block_until_ready(jax.tree_util.tree_leaves(r)[0])
-                return r
-            except (ValueError, jax.errors.JaxRuntimeError) as e:
-                if isinstance(e, ValueError) and "buffers" not in str(e):
-                    raise
+                return dispatch()
+            except jax.errors.JaxRuntimeError:
                 jax.clear_caches()
-                r = jax.jit(f)(*args)
-                jax.block_until_ready(jax.tree_util.tree_leaves(r)[0])
-                return r
+                return dispatch()
+            except (IndexError, ValueError):
+                jax.clear_caches()
+                return dispatch()
 
         # ---- compute every stage's inputs with single dispatches --------
         arrays = dict(pos=state.pos, vel=state.vel, acc=state.acc,

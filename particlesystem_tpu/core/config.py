@@ -108,6 +108,14 @@ class NBodyConfig:
 
     seed: int = 1
     spawn_budget: int = 0      # 0 -> derived: max children per frame
+    # MXU-offloaded force accumulation in the cluster-pair kernel
+    # (ops/neighbor_blocks.py): the per-chunk axis=1 sum-reductions become
+    # one HIGHEST-precision matmul with block-origin recentering.  18%
+    # faster at 1M steady state on v5e; costs <=2e-5 relative accumulation
+    # error from the (sum) - m*(sum) cancellation (measured; discrete
+    # collision/kill outcomes are unaffected — they ride the exact int-max
+    # path).  Set False for accumulation-order-conservative runs.
+    fast_accum: bool = True
 
     # --- derived lifecycle ages (common.h:59-63) -------------------------
     @property

@@ -246,7 +246,7 @@ def step_fields(state: ParticleState, uvec: jax.Array, fert: jax.Array,
         from ..ops.neighbor_blocks import neighbor_pass_blocks
         acc, kill, touch, overflow, max_occ, cell_counts, chunks_dropped = \
             neighbor_pass_blocks(state.pos, state.age, state.w, cell,
-                                 state.alive, cfg)
+                                 state.alive, cfg, acc_mxu=cfg.fast_accum)
         listed_dropped = chunks_dropped.astype(jnp.int32)
     else:
         bins = build_bins(cell, state.alive, grid.num_cells,

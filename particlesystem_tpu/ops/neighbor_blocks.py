@@ -57,6 +57,8 @@ B = 512        # block rows per grid step (swept at 1M steady state on v5e:
                # b256 108.6 ms, b512 88.0 ms full pass; bigger blocks
                # amortize DMA + per-block fixed cost)
 CH = 1024      # neighbor chunk columns per DMA (ch512 is 37% slower)
+DEPTH = 2      # DMA pipeline slots (in-flight chunk fetches = DEPTH - 1)
+ACC_WIDE = False  # accumulate (B, CH) tiles, reduce once per block
 R_MAX = 24     # static neighbor-range slots per block
 C_MAX = 48     # static chunk slots per block
 _BIG = jnp.int32(1 << 30)
@@ -225,6 +227,7 @@ def prepare(pos0, age0, w0, cell, alive, cfg: NBodyConfig, dims=None,
 
 
 def _kernel(cfg: NBodyConfig, b: int, ch: int, acc_mxu: bool, cell_mxu: bool,
+            depth: int, acc_wide: bool,
             chunks_ref, mine_ref, snap_ref, out_ref, nbuf, acc_ref, imax_ref,
             sem):
     kid = jnp.float32(cfg.kid_age)
@@ -255,16 +258,21 @@ def _kernel(cfg: NBodyConfig, b: int, ch: int, acc_mxu: bool, cell_mxu: bool,
         return pltpu.make_async_copy(
             snap_ref.at[:, pl.ds(astart, ch)], nbuf.at[slot], sem.at[slot])
 
-    @pl.when(nact > 0)
-    def _():
-        dma(0, 0).start()
+    # prologue: fill the DMA pipeline `depth - 1` deep.  When per-chunk
+    # compute is shorter than the HBM DMA round-trip (small b*ch tiles),
+    # two slots stall on latency every iteration; a deeper pipeline keeps
+    # `depth - 1` fetches in flight.
+    for k in range(depth - 1):
+        @pl.when(k < nact)
+        def _(k=k):
+            dma(k, k % depth).start()
 
     def body(j, _):
-        slot = j % 2
+        slot = j % depth
 
-        @pl.when(j + 1 < nact)
+        @pl.when(j + depth - 1 < nact)
         def _():
-            dma(j + 1, (j + 1) % 2).start()
+            dma(j + depth - 1, (j + depth - 1) % depth).start()
 
         dma(j, slot).wait()
         nb = nbuf[slot]                     # (16, CH)
@@ -306,6 +314,17 @@ def _kernel(cfg: NBodyConfig, b: int, ch: int, acc_mxu: bool, cell_mxu: bool,
 
         pc = (pg & (d2 <= r2)) & (myoung_adult & row_c)
         gsel = jnp.where(pc, ngid, _IMIN)
+        if acc_wide:
+            # defer the expensive cross-lane reductions to once per block:
+            # accumulate full (B, CH) tiles elementwise (sum/max are
+            # associative across chunks) — a per-chunk axis=1 reduction is
+            # a fixed ~log(CH) shuffle cost that dominates small tiles
+            imax_ref[:, :] = jnp.maximum(imax_ref[:, :], gsel)
+            sw = s * nb[10].reshape(1, ch)
+            acc_ref[0] = acc_ref[0] + dx * sw
+            acc_ref[1] = acc_ref[1] + dy * sw
+            acc_ref[2] = acc_ref[2] + dz * sw
+            return 0
         imax_ref[0, :] = jnp.maximum(imax_ref[0, :],
                                      jnp.max(gsel, axis=1))
 
@@ -337,30 +356,49 @@ def _kernel(cfg: NBodyConfig, b: int, ch: int, acc_mxu: bool, cell_mxu: bool,
         return 0
 
     jax.lax.fori_loop(0, nact, body, 0)
-    if acc_mxu:
+    if acc_wide:
+        out_ref[0, :] = jnp.sum(acc_ref[0], axis=1)
+        out_ref[1, :] = jnp.sum(acc_ref[1], axis=1)
+        out_ref[2, :] = jnp.sum(acc_ref[2], axis=1)
+        out_ref[3, :] = jax.lax.bitcast_convert_type(
+            jnp.max(imax_ref[:, :], axis=1), jnp.float32)
+    elif acc_mxu:
         sw_sum = acc_ref[0, :]
         out_ref[0, :] = acc_ref[1, :] - (mx.reshape(b) - mine[0, 0]) * sw_sum
         out_ref[1, :] = acc_ref[2, :] - (my.reshape(b) - mine[1, 0]) * sw_sum
         out_ref[2, :] = acc_ref[3, :] - (mz.reshape(b) - mine[2, 0]) * sw_sum
+        out_ref[3, :] = jax.lax.bitcast_convert_type(imax_ref[0, :],
+                                                     jnp.float32)
     else:
         out_ref[0:3, :] = acc_ref[0:3, :]
-    out_ref[3, :] = jax.lax.bitcast_convert_type(imax_ref[0, :], jnp.float32)
+        out_ref[3, :] = jax.lax.bitcast_convert_type(imax_ref[0, :],
+                                                     jnp.float32)
     out_ref[4:8, :] = jnp.zeros((4, b), jnp.float32)
 
 
 def kernel_call(cfg: NBodyConfig, snap, chunks, n: int,
                 c_max: int | None = None, ch: int | None = None,
                 b: int | None = None, acc_mxu: bool = False,
-                cell_mxu: bool = False) -> jax.Array:
+                cell_mxu: bool = False, depth: int | None = None,
+                acc_wide: bool | None = None) -> jax.Array:
     """Invoke the Pallas cluster-pair kernel on prepared inputs; returns the
     raw sorted-order (8, n) output (rows 0-2 acc, row 3 gmax bits).  Shared
     by :func:`neighbor_pass_blocks` and the phase profilers."""
     c_max = C_MAX if c_max is None else c_max
     ch = CH if ch is None else ch
     b = B if b is None else b
+    depth = DEPTH if depth is None else depth
+    acc_wide = ACC_WIDE if acc_wide is None else acc_wide
     nb_blocks = n // b
+    if acc_wide:
+        acc_scratch = [pltpu.VMEM((3, b, ch), jnp.float32),
+                       pltpu.VMEM((b, ch), jnp.int32)]
+    else:
+        acc_scratch = [pltpu.VMEM((8, b), jnp.float32),
+                       pltpu.VMEM((8, b), jnp.int32)]
     return pl.pallas_call(
-        functools.partial(_kernel, cfg, b, ch, acc_mxu, cell_mxu),
+        functools.partial(_kernel, cfg, b, ch, acc_mxu, cell_mxu, depth,
+                          acc_wide),
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
         grid=(nb_blocks,),
         in_specs=[
@@ -373,10 +411,9 @@ def kernel_call(cfg: NBodyConfig, snap, chunks, n: int,
         out_specs=pl.BlockSpec((8, b), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, ch), jnp.float32),
-            pltpu.VMEM((8, b), jnp.float32),
-            pltpu.VMEM((8, b), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((depth, 16, ch), jnp.float32),
+            *acc_scratch,
+            pltpu.SemaphoreType.DMA((depth,)),
         ],
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
@@ -408,6 +445,8 @@ def neighbor_pass_blocks(pos0, age0, w0, cell, alive, cfg: NBodyConfig,
                          dims=None, ids=None, c_max: int | None = None,
                          ch: int | None = None, b: int | None = None,
                          acc_mxu: bool = False, cell_mxu: bool = False,
+                         depth: int | None = None,
+                         acc_wide: bool | None = None,
                          ) -> Tuple[jax.Array, jax.Array, jax.Array,
                                     jax.Array, jax.Array, jax.Array,
                                     jax.Array]:
@@ -428,7 +467,8 @@ def neighbor_pass_blocks(pos0, age0, w0, cell, alive, cfg: NBodyConfig,
         pos0, age0, w0, cell, alive, cfg, dims=dims, ids=ids, c_max=c_max,
         ch=ch, b=b)
     out = kernel_call(cfg, snap, chunks, n, c_max=c_max, ch=ch, b=b,
-                      acc_mxu=acc_mxu, cell_mxu=cell_mxu)
+                      acc_mxu=acc_mxu, cell_mxu=cell_mxu, depth=depth,
+                      acc_wide=acc_wide)
     # unsort by sorting on the forward permutation (all keys distinct): an
     # (N,8) row SCATTER costs ~170 ms at 2M rows on v5e, the carrying sort
     # ~10 ms.  The sorted-side overflow flag rides along as a free column.

@@ -93,11 +93,19 @@ class ShardedEmitterEngine:
         return self._step(s)
 
     def alive_count(self, s: EngineState) -> int:
-        n_local = self.local.cfg.slots
-        total = self.local.total
-        count = 0
-        for dev in range(self.d):
-            age = s.fields[6][dev * total: dev * total + n_local]
-            life = s.fields[7][dev * total: dev * total + n_local]
-            count += int(jnp.sum(((age <= life) & (life > 0)).astype(jnp.int32)))
-        return count
+        if not hasattr(self, "_alive_count"):
+            n_local = self.local.cfg.slots
+            total = self.local.total
+            d = self.d
+
+            @jax.jit
+            def count(age, life):
+                # (D*total,) sharded on the device axis -> per-device view;
+                # the reshape keeps each (total,) row on its owning device so
+                # the sum reduces locally and combines with one collective.
+                age = age.reshape(d, total)[:, :n_local]
+                life = life.reshape(d, total)[:, :n_local]
+                return jnp.sum(((age <= life) & (life > 0)).astype(jnp.int32))
+
+            self._alive_count = count
+        return int(self._alive_count(s.fields[6], s.fields[7]))

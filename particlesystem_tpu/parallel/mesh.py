@@ -62,3 +62,77 @@ def mesh_3d(d3: int, d1: int, d2: int, axes=("x", "y", "z")) -> Mesh:
     if len(devs) < n:
         raise ValueError(f"need {n} devices, have {len(devs)}")
     return Mesh(np.array(devs[:n]).reshape(d3, d1, d2), axes)
+
+
+def _device_granules(devices, n_granules: int):
+    """Group devices by physical locality: TPU ``slice_index`` when present
+    (multi-slice pods), else ``process_index`` (multi-host CPU/single-slice),
+    else contiguous equal blocks (single-process testing)."""
+    for attr in ("slice_index", "process_index"):
+        keys = [getattr(d, attr, None) for d in devices]
+        if all(k is not None for k in keys) and len(set(keys)) == n_granules:
+            order = sorted(set(keys))
+            return [[d for d, k in zip(devices, keys) if k == g]
+                    for g in order]
+    if len(devices) % n_granules:
+        raise ValueError(
+            f"{len(devices)} devices cannot split into {n_granules} granules")
+    per = len(devices) // n_granules
+    return [list(devices[i * per:(i + 1) * per]) for i in range(n_granules)]
+
+
+def hybrid_mesh(ici_shape, dcn_shape, axes) -> Mesh:
+    """Slice-aware ``Mesh`` for multi-slice / multi-host scale-out — the
+    DCN story the reference gets from its 2-host mpirun launch
+    (``/root/reference/makefile:3-4``, ``build/linux/mpi-hosts:1-2``).
+
+    Global mesh axis ``i`` has size ``dcn_shape[i] * ici_shape[i]``; the
+    devices of one granule (a TPU slice, or one host process) tile the
+    ``ici_shape`` block, and blocks are laid out on the ``dcn_shape``
+    super-grid.  **Slice placement rule**: give every axis that carries a
+    per-frame ring collective (cyclic migration ``ppermute``) a
+    ``dcn_shape`` entry of 1 so its ring rides ICI only; reserve the DCN
+    split for ONE spatial axis, where traffic crosses the slice seam only
+    between the two adjacent sub-domains (halo faces + the few migrants
+    crossing that plane — DCN sees O(face), never O(ring)).
+
+    Examples over 2 slices of 4 chips:
+
+    * slab over 8:   ``hybrid_mesh((4,), (2,), ("x",))``
+    * pencil (4,2):  ``hybrid_mesh((2, 2), (2, 1), ("x", "y"))`` —
+      the "y" migration ring stays intra-slice; "x" crosses DCN once.
+    * brick (2,2,2): ``hybrid_mesh((1, 2, 2), (2, 1, 1), ("x", "y", "z"))``
+
+    Uses ``jax.experimental.mesh_utils.create_hybrid_device_mesh`` when the
+    runtime exposes slice topology (optimal intra-slice ICI ordering), with
+    a deterministic granule-block fallback for CPU meshes and tests.
+    """
+    ici_shape = tuple(int(s) for s in ici_shape)
+    dcn_shape = tuple(int(s) for s in dcn_shape)
+    if len(ici_shape) != len(dcn_shape) or len(ici_shape) != len(axes):
+        raise ValueError(f"rank mismatch: {ici_shape} {dcn_shape} {axes}")
+    n_granules = int(np.prod(dcn_shape))
+    per_granule = int(np.prod(ici_shape))
+    devs = jax.devices()[: n_granules * per_granule]
+    if len(devs) < n_granules * per_granule:
+        raise ValueError(
+            f"need {n_granules * per_granule} devices, have {len(devs)}")
+
+    if n_granules > 1 and getattr(devs[0], "slice_index", None) is not None:
+        from jax.experimental import mesh_utils
+        try:
+            arr = mesh_utils.create_hybrid_device_mesh(
+                ici_shape, dcn_shape, devices=devs)
+            return Mesh(arr, axes)
+        except (ValueError, AssertionError):
+            pass  # topology mismatch — fall through to the block layout
+
+    granules = _device_granules(devs, n_granules)
+    global_shape = tuple(d * i for d, i in zip(dcn_shape, ici_shape))
+    arr = np.empty(global_shape, dtype=object)
+    for gi, idx in enumerate(np.ndindex(*dcn_shape)):
+        block = np.array(granules[gi], dtype=object).reshape(ici_shape)
+        sl = tuple(slice(idx[k] * ici_shape[k], (idx[k] + 1) * ici_shape[k])
+                   for k in range(len(ici_shape)))
+        arr[sl] = block
+    return Mesh(arr, axes)

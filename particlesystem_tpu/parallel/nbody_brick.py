@@ -46,6 +46,7 @@ from ..core.state import ParticleState
 from ..models.nbody import frame_fields, lifecycle_update
 from ..ops import compact
 from ..ops.grid import build_bins, cell_coords, wrap_positions
+from ..utils.dispatchbug import recovering_call
 from ..ops.neighbor import neighbor_pass
 from .nbody_sharded import _pack_rows
 
@@ -184,7 +185,8 @@ def make_brick_step(cfg: NBodyConfig, spec: BrickSpec, mesh: Mesh):
                 ids0p, cellp, validp = ids0, ext_cell, valid0
             acc, kill, touch, ovf, max_cell, _, chunks_dropped = \
                 neighbor_pass_blocks(pos0p, age0p, w0p, cellp, validp, cfg,
-                                     dims=ext_dims, ids=ids0p)
+                                     dims=ext_dims, ids=ids0p,
+                                     acc_mxu=cfg.fast_accum)
             overflow_local = ovf[:c_local]
             listed_dropped = chunks_dropped.astype(jnp.int32)
         else:
@@ -284,14 +286,8 @@ def make_brick_step(cfg: NBodyConfig, spec: BrickSpec, mesh: Mesh):
     step_jit = jax.jit(lambda state, frame: step_sharded(state, frame))
 
     def step_fn(state: ParticleState, frame: jax.Array):
-        # jax 0.9 dispatch-cache recovery — see nbody_sharded.make_sharded_step
-        try:
-            return step_jit(state, frame)
-        except (IndexError, ValueError) as e:
-            if isinstance(e, ValueError) and "buffers" not in str(e):
-                raise
-            jax.clear_caches()
-            return step_jit(state, frame)
+        # jax 0.9 dispatch-cache recovery — see utils/dispatchbug.py
+        return recovering_call(step_jit, state, frame)
 
     def shard_state(state: ParticleState) -> ParticleState:
         sh = NamedSharding(mesh, pspec)

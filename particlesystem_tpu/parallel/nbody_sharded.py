@@ -52,6 +52,7 @@ from ..core.state import ParticleState
 from ..models.nbody import frame_fields, lifecycle_update
 from ..ops import compact
 from ..ops.grid import build_bins, cell_coords, wrap_positions
+from ..utils.dispatchbug import recovering_call
 from ..ops.neighbor import neighbor_pass
 
 
@@ -172,7 +173,8 @@ def make_sharded_step(cfg: NBodyConfig, spec: SlabSpec, mesh: Mesh):
             acc, kill, touch, ovf, max_cell, _, chunks_dropped = \
                 neighbor_pass_blocks(
                     pos0p, age0p, w0p, cellp, validp, cfg,
-                    dims=(gd, gd, planes + 2), ids=ids0p)
+                    dims=(gd, gd, planes + 2), ids=ids0p,
+                    acc_mxu=cfg.fast_accum)
             overflow_local = ovf[:c_local]
             listed_dropped = chunks_dropped.astype(jnp.int32)
         else:
@@ -246,6 +248,12 @@ def make_sharded_step(cfg: NBodyConfig, spec: SlabSpec, mesh: Mesh):
         stats = {k: psum(v) for k, v in counts.items()}
         stats["n_alive"] = psum(jnp.sum(state3.alive.astype(jnp.int32)))
         stats["halo_dropped"] = psum(ldrop + rdrop)
+        stats["halo_used_max"] = jax.lax.pmax(jnp.maximum(
+            jnp.sum(lmask.astype(jnp.int32)),
+            jnp.sum(rmask.astype(jnp.int32))), ax)
+        stats["migration_used_max"] = jax.lax.pmax(jnp.maximum(
+            jnp.sum(go_r.astype(jnp.int32)),
+            jnp.sum(go_l.astype(jnp.int32))), ax)
         stats["n_listed_dropped"] = psum(listed_dropped)
         stats["migration_dropped"] = psum(mig_dropped)
         stats["max_cell_occupancy"] = jax.lax.pmax(max_cell, ax)
@@ -263,19 +271,8 @@ def make_sharded_step(cfg: NBodyConfig, spec: SlabSpec, mesh: Mesh):
     step_jit = jax.jit(lambda state, frame: step_sharded(state, frame))
 
     def step_fn(state: ParticleState, frame: jax.Array):
-        # jax 0.9 dispatch-cache bug (tools/repro_jax_dispatch_bug.py): a
-        # cached executable's input avals/shardings can come back
-        # misassociated across the arg tree when several differently-
-        # signatured Pallas-bearing jits coexist — here it surfaces as an
-        # IndexError converting a misassigned NamedSharding for the scalar
-        # frame arg.  Same last-line recovery as api._step_once.
-        try:
-            return step_jit(state, frame)
-        except (IndexError, ValueError) as e:
-            if isinstance(e, ValueError) and "buffers" not in str(e):
-                raise
-            jax.clear_caches()
-            return step_jit(state, frame)
+        # jax 0.9 dispatch-cache recovery — see utils/dispatchbug.py
+        return recovering_call(step_jit, state, frame)
 
     def shard_state(state: ParticleState) -> ParticleState:
         sh = NamedSharding(mesh, pspec)

@@ -51,7 +51,8 @@ def stage_fn(stage: str, cfg, width: int, impl: str, n: int):
         return (lambda pos: coords_to_cell(
             wrap_positions(pos, cfg.grid)[1], cfg.grid), ["pos"])
     if stage == "calc_forces":
-        return (lambda snap, chunks: nbk.kernel_call(cfg, snap, chunks, n),
+        return (lambda snap, chunks: nbk.kernel_call(
+            cfg, snap, chunks, n, acc_mxu=cfg.fast_accum),
                 ["snap", "chunks"])
     if stage == "unsort":
         return (lambda kout, order, ovf_s: nbk.unsort_outputs(

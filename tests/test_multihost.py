@@ -1,13 +1,15 @@
-"""Multi-host (2-process) smoke test: ``jax.distributed`` + cross-process
-collectives drive one slab-sharded n-body run.
+"""Multi-host (2-process) tests: ``jax.distributed`` + cross-process
+collectives drive sharded n-body runs for ALL THREE decompositions.
 
 The reference actually runs on 2 MPI hosts (``/root/reference/makefile:3-4``,
 ``build/linux/mpi-hosts``); this is the TPU-native equivalent —
 ``mesh.maybe_init_distributed`` (env-driven, the hostfile analog) joins two
-CPU processes of 4 virtual devices each into one 8-device mesh, and the
-sharded step's ppermute/psum collectives cross the process boundary.
-Stats must match the single-device trajectory exactly for the same window
-the single-process sharded test uses.
+CPU processes of 4 virtual devices each into one 8-device *hybrid* mesh
+(``mesh.hybrid_mesh``: the process split plays the DCN axis), and the
+sharded steps' ppermute/psum collectives — 1-axis (slab), 2-axis (pencil)
+and 3-axis (brick) — cross the process boundary.  Stats must match the
+single-device trajectory exactly for the same window the single-process
+sharded tests use.
 """
 
 import json
@@ -18,6 +20,7 @@ import sys
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from particlesystem_tpu.models import nbody
 
@@ -31,7 +34,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_run():
+def _run_workers(decomp: str):
     port = _free_port()
     env_base = {k: v for k, v in os.environ.items()
                 if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
@@ -40,7 +43,8 @@ def test_two_process_distributed_run():
         env = dict(env_base,
                    PSTPU_COORDINATOR=f"127.0.0.1:{port}",
                    PSTPU_NUM_PROCESSES="2",
-                   PSTPU_PROCESS_ID=str(pid))
+                   PSTPU_PROCESS_ID=str(pid),
+                   PSTPU_DECOMP=decomp)
         procs.append(subprocess.Popen(
             [sys.executable, WORKER], env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
@@ -61,19 +65,37 @@ def test_two_process_distributed_run():
     s0 = json.loads(stats_lines[0][6:])
     s1 = json.loads(stats_lines[1][6:])
     assert s0 == s1  # both processes observed identical global stats
+    return s0
+
+
+@pytest.mark.parametrize("decomp", ["slab", "pencil", "brick"])
+def test_two_process_distributed_run(decomp):
+    s0 = _run_workers(decomp)
 
     # compare against the single-device trajectory (same arrangement);
     # CFG mirrors tools/multihost_worker.py (importing the worker would run
     # its distributed init at import time)
     from particlesystem_tpu import GridSpec, NBodyConfig
-    from particlesystem_tpu.parallel.nbody_sharded import SlabSpec, distribute
+
+    if decomp == "slab":
+        from particlesystem_tpu.parallel.nbody_sharded import (SlabSpec,
+                                                               distribute)
+        spec = SlabSpec(n_devices=8)
+    elif decomp == "pencil":
+        from particlesystem_tpu.parallel.nbody_pencil import (PencilSpec,
+                                                              distribute)
+        spec = PencilSpec(d3=4, d1=2)
+    else:
+        from particlesystem_tpu.parallel.nbody_brick import (BrickSpec,
+                                                             distribute)
+        spec = BrickSpec(d3=2, d1=2, d2=2)
 
     CFG = NBodyConfig(
         n_fill=2000, capacity=8192,
         grid=GridSpec(grid_dim=16, cell_size=5.0, chunk_factor=4),
         particle_life=3.0, seed=11,
     )
-    ss, _ = distribute(nbody.init_fill(CFG), CFG, SlabSpec(n_devices=8))
+    ss, _ = distribute(nbody.init_fill(CFG), CFG, spec)
     for frame in range(3):
         uvec, fert = nbody.frame_fields(CFG, jnp.int32(frame), ss.tag)
         ss, sstats = nbody.step_fields(ss, uvec, fert, jnp.int32(frame), CFG)

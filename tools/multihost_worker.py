@@ -1,13 +1,17 @@
-"""Worker process for the 2-process multi-host smoke test
+"""Worker process for the 2-process multi-host tests
 (``tests/test_multihost.py``).
 
 Each process owns 4 virtual CPU devices; ``jax.distributed.initialize``
 (via ``mesh.maybe_init_distributed``, driven by the PSTPU_* env the way the
 reference is driven by the mpirun hostfile, ``/root/reference/makefile:3-4``)
-joins them into one 8-device global mesh.  Runs a few slab-sharded n-body
-steps over the GLOBAL mesh — collectives cross the process boundary — and
-prints one JSON stats line for the parent to compare against the
-single-device run.
+joins them into one 8-device global mesh.  ``PSTPU_DECOMP`` selects the
+decomposition (slab / pencil / brick); the mesh comes from
+``mesh.hybrid_mesh`` so the process (DCN-analog) split lands on the "x"
+axis while every other migration ring stays intra-process — the slice-
+placement rule production multi-slice runs follow.  Runs a few sharded
+n-body steps over the GLOBAL mesh — 1-, 2- and 3-axis collectives cross the
+process boundary — and prints one JSON stats line for the parent to compare
+against the single-device run.
 """
 
 import json
@@ -23,7 +27,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-from particlesystem_tpu.parallel.mesh import maybe_init_distributed  # noqa: E402
+from particlesystem_tpu.parallel.mesh import (  # noqa: E402
+    hybrid_mesh, maybe_init_distributed)
 
 assert maybe_init_distributed(), "PSTPU_* env not set"
 assert jax.process_count() == 2, jax.process_count()
@@ -35,9 +40,6 @@ import numpy as np  # noqa: E402
 
 from particlesystem_tpu import GridSpec, NBodyConfig  # noqa: E402
 from particlesystem_tpu.models import nbody  # noqa: E402
-from particlesystem_tpu.parallel.mesh import mesh_1d  # noqa: E402
-from particlesystem_tpu.parallel.nbody_sharded import (  # noqa: E402
-    SlabSpec, distribute, make_sharded_step)
 
 CFG = NBodyConfig(
     n_fill=2000, capacity=8192,
@@ -45,9 +47,29 @@ CFG = NBodyConfig(
     particle_life=3.0, seed=11,
 )
 
-spec = SlabSpec(n_devices=8)
-mesh = mesh_1d(8)
-step_fn, shard_state = make_sharded_step(CFG, spec, mesh)
+decomp = os.environ.get("PSTPU_DECOMP", "slab")
+if decomp == "slab":
+    from particlesystem_tpu.parallel.nbody_sharded import (
+        SlabSpec, distribute, make_sharded_step)
+    spec = SlabSpec(n_devices=8)
+    mesh = hybrid_mesh((4,), (2,), ("x",))
+    step_fn, shard_state = make_sharded_step(CFG, spec, mesh)
+elif decomp == "pencil":
+    from particlesystem_tpu.parallel.nbody_pencil import (
+        PencilSpec, distribute, make_pencil_step)
+    spec = PencilSpec(d3=4, d1=2)
+    # "y" ring intra-process; "x" crosses the process seam once
+    mesh = hybrid_mesh((2, 2), (2, 1), ("x", "y"))
+    step_fn, shard_state = make_pencil_step(CFG, spec, mesh)
+elif decomp == "brick":
+    from particlesystem_tpu.parallel.nbody_brick import (
+        BrickSpec, distribute, make_brick_step)
+    spec = BrickSpec(d3=2, d1=2, d2=2)
+    # "y"/"z" rings intra-process; "x" crosses the process seam once
+    mesh = hybrid_mesh((1, 2, 2), (2, 1, 1), ("x", "y", "z"))
+    step_fn, shard_state = make_brick_step(CFG, spec, mesh)
+else:
+    raise SystemExit(f"unknown PSTPU_DECOMP {decomp!r}")
 
 # every process computes the same global initial state, device_put places
 # only the addressable shards

@@ -59,14 +59,30 @@ def main():
     cell = coords_to_cell(coords, cfg.grid)
     args = (state.pos, state.age, state.w, cell, state.alive)
 
+    # round-3 focus: JOINT (b, ch) scaling.  Candidate pair-slots per chunk
+    # are b*ch REGARDLESS of the real range width (in_rng masks the rest),
+    # so packing efficiency rises only when BOTH shrink together: smaller b
+    # narrows each block's cell span (narrower stencil ranges), smaller ch
+    # quantizes those narrower ranges with less tail waste.  Round-2 swept
+    # the axes separately (b256/ch1024 and b512/ch512 both lost) and missed
+    # the joint optimum.
+    # hypothesis after the joint (b, ch) sweep: small tiles lose because
+    # per-chunk compute (b*ch pairs) drops below the HBM DMA round-trip,
+    # so the 2-slot pipeline stalls on latency every chunk.  Sweep DMA
+    # pipeline depth against tile size.
+    # depth (DMA pipeline) measured a no-op at every tile size -> the
+    # per-chunk cost is compute, with the per-chunk axis=1 reductions the
+    # prime fixed-cost suspect.  acc_wide defers them to once per block
+    # (VMEM caps it at b*ch <= 256k tiles: (3, b, ch) f32 + (b, ch) i32
+    # scratch; b512/ch1024 wide = 24 MB > the 16 MB scoped limit).
     variants = [
-        ("vpu          b256 ch1024", dict()),
-        ("acc_mxu      b256 ch1024", dict(acc_mxu=True)),
-        ("cell_mxu     b256 ch1024", dict(cell_mxu=True)),
-        ("both_mxu     b256 ch1024", dict(acc_mxu=True, cell_mxu=True)),
-        ("vpu          b512 ch1024", dict(b=512)),
-        ("vpu          b256 ch512",  dict(ch=512)),
-        ("both_mxu     b512 ch1024", dict(acc_mxu=True, cell_mxu=True, b=512)),
+        ("vpu      b512 ch1024",    dict(b=512)),             # r2 default
+        ("acc_mxu  b512 ch1024",    dict(acc_mxu=True, b=512)),
+        ("acc_wide b256 ch512",     dict(acc_wide=True, b=256, ch=512)),
+        ("acc_wide b256 ch1024",    dict(acc_wide=True, b=256, ch=1024)),
+        ("acc_wide b512 ch512",     dict(acc_wide=True, b=512, ch=512)),
+        ("acc_wide b128 ch512",     dict(acc_wide=True, b=128, ch=512)),
+        ("acc_wide b256 ch640",     dict(acc_wide=True, b=256, ch=640)),
     ]
     results = {}
     ref = None
