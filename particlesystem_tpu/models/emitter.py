@@ -71,11 +71,13 @@ def spawn_fields(cfg: EmitterSceneConfig, frame: jax.Array,
     accumulators (one float per emitter).  ``salt`` decorrelates parallel
     streams (e.g. the device index under data-parallel sharding).
 
-    The RNG draws stay PER EMITTER (counter-based keys, identical to the
-    numpy oracle draw-for-draw), but the downstream sampling math runs
-    ONCE on the concatenated rows with per-row static parameter columns —
-    elementwise-identical values, a fraction of the kernel launches for
-    multi-emitter scenes."""
+    ONE uniform draw and ONE unit-vector draw cover every emitter's rows
+    (counter-based key per (seed, frame, salt); emitters are decorrelated
+    by row position), and the downstream sampling math runs once on the
+    concatenated rows with per-row static parameter columns.  At 1M-scene
+    scale the spawn path is pure op-launch overhead (~tens of us for ~2k
+    rows), so the op count IS the cost — the numpy oracle consumes the
+    produced rows, not the stream layout, so draw restructuring is free."""
     if not cfg.emitters:
         z3 = jnp.zeros((1, 3), jnp.float32)
         z1 = jnp.zeros((1,), jnp.float32)
@@ -83,16 +85,22 @@ def spawn_fields(cfg: EmitterSceneConfig, frame: jax.Array,
                 accum)
 
     base = jax.random.fold_in(rng.frame_key(cfg.seed, frame, rng.EMIT), salt)
-    us, dirs_l, valids, new_accum = [], [], [], []
-    for ei, e in enumerate(cfg.emitters):
-        s = emitter_budget(e, cfg.dt)
-        key = jax.random.fold_in(base, ei)
-        us.append(jax.random.uniform(key, (s, 8), jnp.float32))
-        dirs_l.append(rng.random_unit_vectors(jax.random.fold_in(key, 1), s))
-        want = accum[ei] + jnp.float32(e.rate * cfg.dt)
-        n = jnp.floor(want)
-        new_accum.append(want - n)
-        valids.append(jnp.arange(s, dtype=jnp.float32) < n)
+    budgets = [emitter_budget(e, cfg.dt) for e in cfg.emitters]
+    total = sum(budgets)
+    u = jax.random.uniform(base, (total, 8), jnp.float32)
+    dirs = rng.random_unit_vectors(jax.random.fold_in(base, 1), total)
+
+    # fractional-rate accumulators: vector math over the (E,) accum row,
+    # then one tiny (S,) gather maps per-emitter counts onto rows
+    rates = jnp.asarray([e.rate * cfg.dt for e in cfg.emitters], jnp.float32)
+    want = accum + rates
+    n_spawn = jnp.floor(want)
+    new_accum = want - n_spawn
+    row_emitter = np.concatenate(
+        [np.full((s,), ei, np.int32) for ei, s in enumerate(budgets)])
+    row_local = np.concatenate(
+        [np.arange(s, dtype=np.float32) for s in budgets])
+    valid = jnp.asarray(row_local) < n_spawn[jnp.asarray(row_emitter)]
 
     # static per-row parameter columns (trace-time numpy constants)
     def per_row(getter):
@@ -101,10 +109,6 @@ def spawn_fields(cfg: EmitterSceneConfig, frame: jax.Array,
             ((emitter_budget(e, cfg.dt),) + np.shape(getter(e))))
             for e in cfg.emitters]
         return jnp.asarray(np.concatenate(cols))
-
-    u = jnp.concatenate(us)                       # (S, 8)
-    dirs = jnp.concatenate(dirs_l)                # (S, 3)
-    valid = jnp.concatenate(valids)
     pos0 = per_row(lambda e: e.pos)               # (S, 3)
     radius = per_row(lambda e: e.radius)          # (S,)
     b = [per_row(lambda e, i=i: _basis(e.direction)[i]) for i in range(3)]
@@ -129,7 +133,7 @@ def spawn_fields(cfg: EmitterSceneConfig, frame: jax.Array,
     life = lmin + u[:, 4] * lspan
 
     rows = SpawnRows(pos=pos, vel=vel, life=life, w=weight, valid=valid)
-    return rows, jnp.stack(new_accum)
+    return rows, new_accum
 
 
 def step_core(state: ParticleState, spawn: SpawnRows,

@@ -39,7 +39,6 @@ import jax.numpy as jnp
 from ..core import rng
 from ..core.config import NBodyConfig
 from ..core.state import ParticleState, zero_state
-from ..ops import compact
 from ..ops.grid import (build_bins, chunk_occupancy, coords_to_cell,
                         wrap_positions)
 from ..ops.neighbor import neighbor_pass
@@ -151,23 +150,32 @@ def lifecycle_update(state: ParticleState, pos_w: jax.Array,
     # 2M slots on v5e even when almost all rows drop).  Ascending parents
     # meet ascending free slots, as before; children beyond the per-frame
     # budget are dropped (mirrored by the oracle).
+    #
+    # Round-3 trims (both physics-preserving):
+    # * ONE combined-category sort replaces the separate request sort +
+    #   free-slot compaction sort (each a full-N int32 sort ~3 ms at 2M):
+    #   key = category * N + slot with category 0 = exploding parent,
+    #   1 = free slot, 2 = rest — parents are the sorted prefix, the free
+    #   block starts at index n_child (read via one dynamic slice of the
+    #   padded keys).  Both come out ascending, exactly as before.
+    # * a small-spawn fast path behind ``lax.cond``: steady-state frames
+    #   spawn a few dozen children, so the E-row gather/scatter (~6 ms at
+    #   the default 65k budget, cost is per update-row) runs at a 16x
+    #   smaller width whenever n_child fits; the full-budget branch only
+    #   executes on explosion-burst frames.  k is identical in both
+    #   branches, so trajectories are unchanged.
     e = min(cfg.max_spawns_per_frame, n)
+    e_small = min(max(1024, e // 16), e)
     slot_idx = jnp.arange(n, dtype=jnp.int32)
-    free_sorted, n_free = compact.free_slots_ascending(alive2)
-    req_sorted = jnp.sort(jnp.where(explode, slot_idx, n))
+    cat = jnp.where(explode, jnp.int32(0),
+                    jnp.where(alive2, jnp.int32(2), jnp.int32(1)))
+    skey = jnp.sort(cat * jnp.int32(n) + slot_idx)
+    skey_pad = jnp.concatenate(
+        [skey, jnp.full((e,), jnp.int32(3) * jnp.int32(n))])
     n_child = jnp.sum(explode.astype(jnp.int32))
+    n_free = jnp.sum((~alive2).astype(jnp.int32))
     k = jnp.minimum(jnp.minimum(n_child, n_free), e)
-    ok_row = jnp.arange(e, dtype=jnp.int32) < k
-    parents = req_sorted[:e]
-    tgt = jnp.where(ok_row, free_sorted[:e], n)
-    src = jnp.clip(parents, 0, n - 1)
 
-    # ONE combined row gather + ONE combined row scatter: gather/scatter
-    # cost on v5e is per update-ROW (~30-90 ns each) regardless of row
-    # width, so the per-field E-row gathers and nine E-row field scatters
-    # each collapse ~8x into single wide-row ops (a few extra full passes
-    # over the state ~ 0.5 ms at 2M).  Bools ride as 0/1 f32, the uint32
-    # tag as an exact bitcast.
     f = jnp.float32
     bc32 = lambda a: jax.lax.bitcast_convert_type(a, f)
     src_mat = jnp.stack([
@@ -175,18 +183,6 @@ def lifecycle_update(state: ParticleState, pos_w: jax.Array,
         evel[:, 0], evel[:, 1], evel[:, 2],
         fert, bc32(state.tag),
     ], axis=1)                                  # (N, 8)
-    picked = src_mat[src]                       # (E, 8): one row gather
-    tag_src = jax.lax.bitcast_convert_type(picked[:, 7], jnp.uint32)
-    child_tag = rng.tag_mix(tag_src, frame)
-    zcol = jnp.zeros((e,), f)
-    child_rows = jnp.stack([
-        picked[:, 0], picked[:, 1], picked[:, 2],
-        -picked[:, 3], -picked[:, 4], -picked[:, 5],
-        zcol, zcol, zcol,                       # acc
-        jnp.full((e,), cfg.weight, f), zcol,    # w, age
-        picked[:, 6], jnp.ones((e,), f), zcol,  # life, alive, parent
-        bc32(child_tag), zcol,
-    ], axis=1)                                  # (E, 16)
     base = jnp.stack([
         pos[:, 0], pos[:, 1], pos[:, 2],
         vel[:, 0], vel[:, 1], vel[:, 2],
@@ -194,7 +190,41 @@ def lifecycle_update(state: ParticleState, pos_w: jax.Array,
         w, age, lifef, alive2.astype(f), parent.astype(f),
         bc32(state.tag), jnp.zeros((n,), f),
     ], axis=1)                                  # (N, 16)
-    merged = base.at[tgt].set(child_rows, mode="drop", unique_indices=True)
+
+    def spawn_into(e_sz: int):
+        """ONE combined (e_sz, 8) row gather + ONE (e_sz, 16) row scatter:
+        gather/scatter cost on v5e is per update-ROW (~30-90 ns each)
+        regardless of row width, so the per-field gathers and nine field
+        scatters each collapse ~8x into single wide-row ops.  Bools ride
+        as 0/1 f32, the uint32 tag as an exact bitcast."""
+        def apply(b):
+            ok_row = jnp.arange(e_sz, dtype=jnp.int32) < k
+            parents = skey_pad[:e_sz]           # cat-0 prefix = parent slots
+            free_rows = jax.lax.dynamic_slice(
+                skey_pad, (n_child,), (e_sz,)) - jnp.int32(n)
+            tgt = jnp.where(ok_row, free_rows, n)
+            src = jnp.clip(parents, 0, n - 1)
+            picked = src_mat[src]               # (e_sz, 8): one row gather
+            tag_src = jax.lax.bitcast_convert_type(picked[:, 7], jnp.uint32)
+            child_tag = rng.tag_mix(tag_src, frame)
+            zcol = jnp.zeros((e_sz,), f)
+            child_rows = jnp.stack([
+                picked[:, 0], picked[:, 1], picked[:, 2],
+                -picked[:, 3], -picked[:, 4], -picked[:, 5],
+                zcol, zcol, zcol,                    # acc
+                jnp.full((e_sz,), cfg.weight, f), zcol,  # w, age
+                picked[:, 6], jnp.ones((e_sz,), f), zcol,  # life, alive, parent
+                bc32(child_tag), zcol,
+            ], axis=1)                          # (e_sz, 16)
+            return b.at[tgt].set(child_rows, mode="drop",
+                                 unique_indices=True)
+        return apply
+
+    if e_small < e:
+        merged = jax.lax.cond(n_child <= e_small, spawn_into(e_small),
+                              spawn_into(e), base)
+    else:
+        merged = spawn_into(e)(base)
     pos = merged[:, 0:3]
     vel = merged[:, 3:6]
     accf = merged[:, 6:9]
