@@ -21,7 +21,7 @@ from .models import nbody
 from .runtime import checkpoint
 from .runtime.engine import PackedEngine
 from .runtime.readback import AsyncReadback
-from .utils.dispatchbug import recovering_call
+from .utils.dispatchbug import multi_pallas_shapes_safe, recovering_call
 from .utils.timers import PhaseTimers
 
 
@@ -158,10 +158,17 @@ class NBodySimulation:
     BUCKETS = (64, 128, 192, 256, 384, 512, 768, 1024)
 
     def __init__(self, cfg: NBodyConfig = NBodyConfig(),
-                 adaptive_width: bool = True, impl: str = "blocks"):
+                 adaptive_width: bool = True, impl: str = "blocks",
+                 active_bucketing: bool = True):
         self.cfg = cfg
         self.impl = impl
         self.adaptive_width = adaptive_width and impl == "dense"
+        # occupancy-adaptive slot prefix: compact alive rows forward, then
+        # run frames on a power-of-2 prefix sized to the live count — every
+        # O(slots) stage (sorts, binning, lifecycle, RNG) scales with LIVE
+        # particles (see nbody.compact_state; results identical by
+        # construction, n_tail_alive guards the contract)
+        self.active_bucketing = active_bucketing
         self.timers = PhaseTimers()
         with self.timers.phase("fill"):
             self.state = nbody.init_fill(cfg)
@@ -169,7 +176,22 @@ class NBodySimulation:
         self.last_stats = None
         self.n_degraded_frames = 0  # frames whose neighbor pass truncated
         self._width = 0  # 0 = full cell_capacity (always exact)
-        self._step_jits = {}  # (width, impl) -> wrapper jit (see _step_fn)
+        self._active = 0  # 0 = full slots
+        self._frozen_active = False
+        self._stepped = False
+        self._step_jits = {}  # (width, impl, active) -> wrapper jit
+        self._compact_jit = None
+        if self.active_bucketing and impl == "blocks" \
+                and not multi_pallas_shapes_safe():
+            # This platform wedges on the 2nd dispatch of a 2nd
+            # Pallas-bearing program shape (utils/dispatchbug.py), so
+            # dynamic re-bucketing is unavailable: pick the prefix ONCE
+            # from the fill count (init_fill is already compacted — alive
+            # rows occupy [0, n_fill)) and keep that single step shape for
+            # the whole process.  Population only decays from the fill, so
+            # containment holds; n_tail_alive still guards it every frame.
+            self._active = self._pick_active(cfg.n_fill)
+            self._frozen_active = True
 
     def _pick_width(self, max_occ: int) -> int:
         """Bucketized list width with 25% headroom over the last observed
@@ -197,17 +219,53 @@ class NBodySimulation:
         collapse to one program at trace time and coexist cleanly with any
         number of other jits, so every consumer here goes through these
         wrappers and the raw module jit is never dispatched by the driver."""
-        key = (self._width, self.impl)
+        key = (self._width, self.impl, self._active)
         fn = self._step_jits.get(key)
         if fn is None:
             w, impl, cfg = self._width, self.impl, self.cfg
-            fn = jax.jit(lambda s, fr: nbody.step(s, fr, cfg, w, impl))
+            act = self._active
+            fn = jax.jit(lambda s, fr: nbody.step(s, fr, cfg, w, impl, act))
             self._step_jits[key] = fn
         return fn
+
+    #: active-prefix granularity (rows).  Coarse enough to bound the number
+    #: of compiled step programs, fine enough not to round a prefix up to
+    #: the next power of two.
+    ACTIVE_QUANTUM = 1 << 18
+
+    def _pick_active(self, alive: int) -> int:
+        """Smallest quantized prefix holding the live rows plus TWO full
+        spawn-burst headrooms (prefix free slots can never fall below one
+        burst between bucket re-checks, so the prefix never caps a spawn
+        the full-width run would grant — the bit-exactness contract of
+        ``nbody.step(active=...)``) and 10% drift margin."""
+        q = self.ACTIVE_QUANTUM
+        need = int(alive * 1.1) + 2 * self.cfg.max_spawns_per_frame
+        b = max(q, ((need + q - 1) // q) * q)
+        return 0 if b >= self.cfg.slots else b
+
+    def _apply_bucketing(self, alive: int) -> None:
+        if self._frozen_active:
+            return  # single-Pallas-shape platform: prefix fixed at init
+        want = self._pick_active(alive)
+        want_rows = want or self.cfg.slots
+        cur_rows = self._active or self.cfg.slots
+        if want_rows < cur_rows:
+            # shrink: compact alive rows into the prefix first
+            if self._compact_jit is None:
+                self._compact_jit = jax.jit(nbody.compact_state)
+            with self.timers.phase("compact"):
+                self.state = recovering_call(self._compact_jit, self.state)
+            self._active = want
+        elif want_rows > cur_rows:
+            # grow (alive crept toward the prefix): pure re-slice, the
+            # prefix invariant is preserved by containment
+            self._active = want
 
     def _step_once(self, state, frame: int):
         # last-line recovery for the residual dispatch-cache flake (see
         # _step_fn and utils/dispatchbug.py)
+        self._stepped = True
         return recovering_call(self._step_fn(), state, jnp.int32(frame))
 
     def run(self, num_iterations: int = 10, verbose: bool = False):
@@ -224,6 +282,15 @@ class NBodySimulation:
                     self.state, stats = self._step_once(prev, self.frame)
             self.frame += 1
             self.last_stats = stats
+            if int(stats.n_tail_alive):
+                # active-prefix contract violated (should be impossible:
+                # _pick_active reserves full-burst headroom) — fail loudly,
+                # physics beyond the prefix was frozen this frame
+                raise RuntimeError(
+                    f"frame {self.frame}: {int(stats.n_tail_alive)} alive "
+                    f"rows beyond active prefix {self._active}")
+            if self.active_bucketing:
+                self._apply_bucketing(int(stats.n_alive))
             if int(stats.n_listed_dropped):
                 # full width still truncated (blocks impl: a block's stencil
                 # exceeded the static chunk budget C_MAX) — the frame stands
@@ -369,6 +436,28 @@ class NBodySimulation:
         self.state, meta = checkpoint.load(path, self.state,
                                            expect_config=self.cfg)
         self.frame = int(meta.get("frame", 0))
+        if not self._frozen_active:
+            self._active = 0  # loaded layout unknown; run() re-buckets
+            return
+        # Single-Pallas-shape platform: compact (sort-only program, safe),
+        # then keep the frozen prefix if the loaded population fits it —
+        # changing the step shape mid-process would wedge the client
+        # (utils/dispatchbug.py).  Before any step has been dispatched the
+        # shape is still free to choose.
+        if self._compact_jit is None:
+            self._compact_jit = jax.jit(nbody.compact_state)
+        self.state = recovering_call(self._compact_jit, self.state)
+        import numpy as _np
+        alive = int(_np.asarray(self.state.alive).sum())
+        want = self._pick_active(alive)
+        if not self._stepped:
+            self._active = want
+        elif (want or self.cfg.slots) > (self._active or self.cfg.slots):
+            raise RuntimeError(
+                f"loaded population ({alive} alive) exceeds the frozen "
+                f"active prefix {self._active}; load the checkpoint in a "
+                f"fresh process (single-Pallas-shape platform, see "
+                f"utils/dispatchbug.py)")
 
     def validate(self, frames: int = 5) -> dict:
         """Run ``frames`` steps of both the device path and the independent

@@ -59,6 +59,9 @@ class NBodyStats:
     n_listed_dropped: jax.Array
     max_cell_occupancy: jax.Array
     max_chunk_occupancy: jax.Array
+    # alive rows beyond the active prefix (step(active=...) misuse guard;
+    # always 0 on full-width steps)
+    n_tail_alive: jax.Array
 
 
 def init_fill(cfg: NBodyConfig, n: int | None = None) -> ParticleState:
@@ -304,6 +307,7 @@ def step_fields(state: ParticleState, uvec: jax.Array, fert: jax.Array,
         n_listed_dropped=listed_dropped,
         max_cell_occupancy=max_occ,
         max_chunk_occupancy=max_chunk,
+        n_tail_alive=jnp.int32(0),
         **counts,
     )
     return out, stats
@@ -319,9 +323,43 @@ def frame_fields(cfg: NBodyConfig, frame: jax.Array, tags: jax.Array):
     return uvec, fert
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
+def compact_state(state: ParticleState) -> ParticleState:
+    """Stable-partition alive rows to the slot prefix (slot order preserved
+    within each class) — ONE carrying sort by ``slot + dead*N`` moving all
+    state columns (~25 ms at 2M on v5e; a row scatter would cost 170+).
+
+    This re-numbers slots deterministically, so collision-ordering ids
+    (slot indices) change; run it only between frames and mirror it on any
+    oracle state being compared (numpy mirror: stable argsort of the same
+    key).  Combined with ``step(..., active=...)`` it makes every O(slots)
+    stage of the frame scale with LIVE particles: after compaction, alive
+    rows occupy ``[0, n_alive)``, and ascending free-slot allocation keeps
+    new spawns inside any prefix with dead headroom, so the whole step can
+    run on a sliced prefix with results identical to the full-width run."""
+    n = state.slots
+    iot = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(state.alive, iot, iot + n)
+    f = jnp.float32
+    bc = lambda a: jax.lax.bitcast_convert_type(a, f)
+    (_, px, py, pz, vx, vy, vz, ax, ay, az, w, age, life, al, par, tag) = \
+        jax.lax.sort(
+            (key, state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
+             state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
+             state.acc[:, 0], state.acc[:, 1], state.acc[:, 2],
+             state.w, state.age, state.life, state.alive.astype(f),
+             state.parent.astype(f), bc(state.tag)),
+            num_keys=1, is_stable=False)  # keys distinct -> stable anyway
+    return ParticleState(
+        pos=jnp.stack([px, py, pz], axis=1),
+        vel=jnp.stack([vx, vy, vz], axis=1),
+        acc=jnp.stack([ax, ay, az], axis=1),
+        w=w, age=age, life=life, alive=al > 0.5, parent=par > 0.5,
+        tag=jax.lax.bitcast_convert_type(tag, jnp.uint32))
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def step(state: ParticleState, frame: jax.Array, cfg: NBodyConfig,
-         list_width: int = 0, impl: str = "dense"):
+         list_width: int = 0, impl: str = "dense", active: int = 0):
     """Full frame: per-frame random fields + physics.
 
     ``impl="blocks"`` uses the cluster-pair Pallas kernel (fastest; work
@@ -329,6 +367,27 @@ def step(state: ParticleState, frame: jax.Array, cfg: NBodyConfig,
     pass; its ``list_width`` (static) narrows the padded neighbor lists —
     cost is O(width^2), so size it from the previous frame's
     ``max_cell_occupancy`` (see ``api.NBodySimulation``) and keep
-    ``stats.n_listed_dropped == 0``."""
+    ``stats.n_listed_dropped == 0``.
+
+    ``active`` (static, multiple of 1024) runs the WHOLE frame on the slot
+    prefix ``[0, active)`` — sorts, binning, kernel, lifecycle and RNG all
+    scale with the prefix instead of capacity.  Caller contract (see
+    ``compact_state`` and ``api.NBodySimulation._pick_active``): every
+    alive row and enough dead headroom for a full spawn burst lie inside
+    the prefix; then results are bit-identical to ``active=0``.
+    ``stats.n_tail_alive`` counts contract violations (alive rows beyond
+    the prefix are frozen that frame — any nonzero value means the caller
+    sized the prefix wrong)."""
+    if active and active < state.slots:
+        head = jax.tree.map(lambda a: a[:active], state)
+        uvec, fert = frame_fields(cfg, frame, head.tag)
+        out_head, stats = step_fields(head, uvec, fert, frame, cfg,
+                                      list_width, impl)
+        tail = jax.tree.map(lambda a: a[active:], state)
+        out = jax.tree.map(lambda h, t: jnp.concatenate([h, t]),
+                           out_head, tail)
+        stats = dataclasses.replace(
+            stats, n_tail_alive=jnp.sum(tail.alive.astype(jnp.int32)))
+        return out, stats
     uvec, fert = frame_fields(cfg, frame, state.tag)
     return step_fields(state, uvec, fert, frame, cfg, list_width, impl)

@@ -9,7 +9,22 @@ arg tree on a re-dispatch.  Observed surfaces (all from the SAME root cause):
   result (backend InvalidArgument),
 * ``IndexError`` converting a misassigned ``NamedSharding`` for a scalar arg,
 * ``ValueError`` raised through ``jax ufuncs.py`` when a poisoned buffer
-  feeds a later elementwise op (the round-2 order-dependent test escape).
+  feeds a later elementwise op (the round-2 order-dependent test escape),
+* ``JaxRuntimeError: INVALID_ARGUMENT: TPU backend error`` on first host
+  dereference of a poisoned result (round-3 bench surface) — so recovery
+  must wrap dispatch AND the first sync together.
+
+Round-3 TPU finding (axon relay, jax 0.9): the bug is HARSHER on the real
+chip than on CPU.  Measured deterministically (small and 1M configs): once
+a process has dispatched one Pallas-bearing program shape A (any number of
+times is fine), the SECOND dispatch of a different Pallas-bearing shape B
+returns ``INVALID_ARGUMENT`` and WEDGES the TPU client — after it, every
+op, retry, and even host reads of previously-good arrays fail, so
+:func:`recovering_call` cannot cure it (``jax.clear_caches()`` + retry
+fails identically).  The only containment on this platform is AVOIDANCE:
+dispatch at most ONE Pallas-bearing program shape more than once per
+process.  :func:`multi_pallas_shapes_safe` is the gate consumers use to
+decide whether dynamic re-bucketing / signature switching is allowed.
 
 Because the message set is open-ended, the recovery is deliberately NOT
 message-matched: any ``ValueError``/``IndexError`` from a dispatch gets ONE
@@ -24,10 +39,23 @@ TODO(jax>0.9): delete this module (and its call sites) once
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 
-_RECOVERABLE = (IndexError, ValueError)
+_RECOVERABLE = (IndexError, ValueError, jax.errors.JaxRuntimeError)
+
+
+def multi_pallas_shapes_safe() -> bool:
+    """Whether this process may dispatch MORE THAN ONE Pallas-bearing
+    program shape repeatedly.  False on the TPU backend (the jax-0.9
+    dispatch-cache bug wedges the axon client on the second dispatch of a
+    second Pallas shape — see module docstring); True on CPU, where the
+    bug's surfaces are transient and :func:`recovering_call` contains
+    them.  Override with ``PSTPU_MULTI_PALLAS=1`` to probe a fixed jax."""
+    if os.environ.get("PSTPU_MULTI_PALLAS") == "1":
+        return True
+    return jax.default_backend() != "tpu"
 
 
 def recovering_call(fn, *args, **kwargs):
