@@ -80,7 +80,14 @@ def _sync(es) -> float:
 def bench_capacity(capacity: int, k_short: int = 16, k_long: int = 112,
                    reps: int = 5, soak: int = 0):
     cfg = scene(capacity)
-    eng = PackedEngine(cfg, alloc="ring")
+    # layout choice: the slim layout (liveness derived from a spawn-time
+    # death frame, 13 HBM words/particle-frame vs 15 — see runtime/engine.py)
+    # wins on physics alone (~7% at 10M) but currently loses it back in the
+    # ring-spawn machinery (interleaved A/B in tools/profile_slim.py:
+    # engine med 1.14 vs 0.97 ms); packed8 stays the bench default until
+    # the spawn-path fusion break is fixed (tools/probe_spawn_overhead.py)
+    eng = PackedEngine(cfg, alloc="ring",
+                       layout=os.environ.get("PS_BENCH_LAYOUT", "packed8"))
     es = eng.init(full_packed(cfg, jax.random.key(0)))
 
     # compile both batch sizes

@@ -108,3 +108,50 @@ def step(s: NpState, spawn_pos, spawn_vel, spawn_life, spawn_w, spawn_valid,
     return NpState(pos=pos.astype(f32), vel=vel.astype(f32),
                    acc=acc.astype(f32), w=w, age=age.astype(f32),
                    life=life, alive=alive1, parent=parent, tag=tag)
+
+
+def step_slim(pos, vel, death, cursor: int, frame: int,
+              spawn_pos, spawn_vel, spawn_life, spawn_valid,
+              cfg: EmitterSceneConfig):
+    """Numpy mirror of the slim-layout engine frame
+    (``runtime.engine.PackedEngine(layout="slim")``): integration of every
+    once-spawned row (``death > 0``; expired rows are garbage until
+    respawn, never-spawned rows stay frozen — the select shape
+    ``ops.fused_step.physics_step_slim`` documents), then ring-ordered
+    spawn writes; liveness is ``frame < death`` with
+    ``death = spawn_frame + life/dt``.  Returns (pos, vel, death, cursor).
+    """
+    f32 = np.float32
+    n = pos.shape[0]
+    dt = f32(cfg.dt)
+
+    a = np.broadcast_to(np.asarray(cfg.gravity, f32), vel.shape).astype(f32)
+    if cfg.drag:
+        a = a + (np.asarray(cfg.wind, f32) - vel) * f32(cfg.drag)
+    v1 = (vel + a * dt).astype(f32)
+    p1 = (pos + v1 * dt).astype(f32)
+    for pl in cfg.planes:
+        nrm = np.asarray(pl.normal, f32)
+        nrm = nrm / np.sqrt(np.sum(nrm * nrm)).astype(f32)
+        d = np.sum((p1 - np.asarray(pl.point, f32)) * nrm, axis=1, dtype=f32)
+        p1, v1 = _respond(p1, v1, nrm, -d, pl.restitution, pl.friction)
+    for sp in cfg.spheres:
+        c = np.asarray(sp.center, f32)
+        dvec = p1 - c
+        dist = np.sqrt(np.sum(dvec * dvec, axis=1, dtype=f32)).astype(f32)
+        nrm = dvec / np.maximum(dist, f32(1e-20))[:, None]
+        p1, v1 = _respond(p1, v1, nrm, f32(sp.radius) - dist,
+                          sp.restitution, sp.friction)
+
+    frozen = ~(death > 0)
+    p1[frozen] = pos[frozen]
+    v1[frozen] = vel[frozen]
+
+    death = death.copy()
+    req = np.flatnonzero(spawn_valid)
+    tgt = (cursor + np.arange(len(req))) % n
+    p1[tgt] = spawn_pos[req]
+    v1[tgt] = spawn_vel[req]
+    death[tgt] = f32(frame) + spawn_life[req] / dt
+    return (p1.astype(f32), v1.astype(f32), death,
+            (cursor + len(req)) % n)

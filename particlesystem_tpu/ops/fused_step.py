@@ -36,12 +36,11 @@ def zero_fields(n: int) -> Fields:
     return tuple(jnp.zeros((n,), jnp.float32) for _ in range(8))
 
 
-def physics_step(fields: Fields, cfg: EmitterSceneConfig) -> Fields:
-    """One physics frame; dead rows (age > life or life <= 0) are frozen."""
-    x, y, z, vx, vy, vz, age, life = fields
+def integrate6(x, y, z, vx, vy, vz, cfg: EmitterSceneConfig):
+    """Forces -> semi-implicit Euler -> plane/sphere response on six bare
+    coordinate arrays — the maskless physics core shared by the packed
+    (8-field, dead-rows-frozen) and slim (7-field, unconditional) layouts."""
     dt = jnp.float32(cfg.dt)
-    alive = (age <= life) & (life > 0)
-
     gx, gy, gz = (jnp.float32(v) for v in cfg.gravity)
     if cfg.drag:
         k = jnp.float32(cfg.drag)
@@ -90,10 +89,55 @@ def physics_step(fields: Fields, cfg: EmitterSceneConfig) -> Fields:
         vy1 = jnp.where(inb, (vy1 - ny * vn) * mu1 - ny * vn * e, vy1)
         vz1 = jnp.where(inb, (vz1 - nz * vn) * mu1 - nz * vn * e, vz1)
 
+    return x1, y1, z1, vx1, vy1, vz1
+
+
+def physics_step(fields: Fields, cfg: EmitterSceneConfig) -> Fields:
+    """One physics frame; dead rows (age > life or life <= 0) are frozen."""
+    x, y, z, vx, vy, vz, age, life = fields
+    dt = jnp.float32(cfg.dt)
+    alive = (age <= life) & (life > 0)
+    x1, y1, z1, vx1, vy1, vz1 = integrate6(x, y, z, vx, vy, vz, cfg)
     return (jnp.where(alive, x1, x), jnp.where(alive, y1, y),
             jnp.where(alive, z1, z), jnp.where(alive, vx1, vx),
             jnp.where(alive, vy1, vy), jnp.where(alive, vz1, vz),
             jnp.where(alive, age + dt, age), life)
+
+
+def physics_step_slim(fields: Tuple[jax.Array, ...],
+                      cfg: EmitterSceneConfig) -> Tuple[jax.Array, ...]:
+    """Slim-layout physics frame: ``fields = (x, y, z, vx, vy, vz, death)``.
+
+    ``death`` is the absolute frame index at which the slot stops being
+    alive (f32, exact below 2^24); liveness is ``frame < death``, derived —
+    never read-modified — so the per-frame HBM traffic drops from 15 to 13
+    words/particle (6 coordinate arrays read+write + the death read; age/
+    life are replaced by a spawn-time constant that physics never rewrites).
+    Rows that were never spawned (``death <= 0``) are frozen; EXPIRED rows
+    (``0 < death <= frame``) keep integrating — their state is *undefined
+    garbage until respawn* and consumers must mask with the liveness test
+    (``alive_mask_slim``).  Drag bounds velocities, plane response bounds
+    positions, so garbage stays finite; the ring allocator overwrites every
+    field at respawn.
+
+    The ``death > 0`` select is ALSO a measured codegen requirement, not
+    just semantics: emitting each output as ``select(mask, new, old)``
+    (packed8's shape) keeps XLA's TPU loop-fusion planner on the single-
+    pass schedule.  The maskless form compiles to a 3-fusion split that
+    materializes intermediates — 2.27 ms vs 0.72 ms per frame at 10M slots
+    on v5e (fori_loop unroll=2; see NOTES.md round-3 slim study).
+    """
+    x, y, z, vx, vy, vz, death = fields
+    new = integrate6(x, y, z, vx, vy, vz, cfg)
+    m = death > 0
+    return (*(jnp.where(m, n, o)
+              for n, o in zip(new, (x, y, z, vx, vy, vz))), death)
+
+
+def alive_mask_slim(death: jax.Array, frame: jax.Array) -> jax.Array:
+    """Liveness for the slim layout: spawned with ``death = spawn_frame +
+    life/dt`` and alive while the current frame index is below it."""
+    return frame.astype(jnp.float32) < death
 
 
 # ---------------------------------------------------------------------------
@@ -157,8 +201,8 @@ def ring_spawn(fields: Fields, rows: Fields, valid: jax.Array,
     col = jnp.arange(s, dtype=jnp.int32)
     wrapped = cursor + nv - n_real
 
-    rows8 = jnp.stack(rows, axis=1)                      # (S, 8)
-    rc8 = jnp.zeros((s, 8), jnp.float32).at[compact_tgt].set(
+    rows8 = jnp.stack(rows, axis=1)                      # (S, n_fields)
+    rc8 = jnp.zeros((s, len(rows)), jnp.float32).at[compact_tgt].set(
         rows8, mode="drop", unique_indices=True)
 
     written = []
@@ -191,3 +235,11 @@ def pack_spawn_rows(spawn) -> Fields:
     return (spawn.pos[:, 0], spawn.pos[:, 1], spawn.pos[:, 2],
             spawn.vel[:, 0], spawn.vel[:, 1], spawn.vel[:, 2],
             jnp.zeros((s,), jnp.float32), spawn.life)
+
+
+def pack_spawn_rows_slim(spawn, frame: jax.Array, dt: float):
+    """SpawnRows -> 7 slim per-field (S,) arrays; lifetime becomes the
+    absolute death frame ``spawn_frame + life/dt`` (exact below 2^24)."""
+    death = frame.astype(jnp.float32) + spawn.life / jnp.float32(dt)
+    return (spawn.pos[:, 0], spawn.pos[:, 1], spawn.pos[:, 2],
+            spawn.vel[:, 0], spawn.vel[:, 1], spawn.vel[:, 2], death)

@@ -21,6 +21,17 @@ Two allocation policies (``alloc=``):
 
 Two physics kernels (``kernel=``): ``"xla"`` (default, fastest) and
 ``"pallas"`` (comparison / kernel scaffold).
+
+Two state layouts (``layout=``):
+
+* ``"packed8"`` — (x, y, z, vx, vy, vz, age, life); dead rows frozen.
+  The general-purpose default (readback exposes age/life directly).
+* ``"slim"`` — (x, y, z, vx, vy, vz, death_frame); ring alloc only.
+  Liveness is *derived* (``frame < death_frame``) instead of read-modify-
+  written, and expired rows keep integrating (garbage until respawn; mask
+  at readback with ``ops.fused_step.alive_mask_slim``).  13 HBM words per
+  particle-frame instead of 15 — the fastest path for HBM-bound scenes
+  (age for fade effects is still exact: ``(frame - (death - life/dt)) * dt``).
 """
 
 from __future__ import annotations
@@ -61,14 +72,21 @@ class PackedEngine:
 
     def __init__(self, cfg: EmitterSceneConfig, refresh_interval: int = 1,
                  free_list_size: Optional[int] = None, alloc: str = "exact",
-                 kernel: str = "xla"):
+                 kernel: str = "xla", layout: str = "packed8"):
         if alloc not in ("exact", "ring"):
             raise ValueError(f"unknown alloc policy {alloc!r}")
         if kernel not in ("xla", "pallas"):
             raise ValueError(f"unknown kernel {kernel!r}")
+        if layout not in ("packed8", "slim"):
+            raise ValueError(f"unknown layout {layout!r}")
+        if layout == "slim" and (alloc != "ring" or kernel != "xla"):
+            raise ValueError("layout='slim' requires alloc='ring', "
+                             "kernel='xla'")
         self.cfg = cfg
         self.alloc = alloc
         self.kernel = kernel
+        self.layout = layout
+        self.n_fields = 7 if layout == "slim" else 8
         self.refresh_interval = int(refresh_interval)
         budget = cfg.max_spawn_per_step * self.refresh_interval
         self.free_list_size = int(free_list_size or max(1024, 4 * budget))
@@ -84,7 +102,17 @@ class PackedEngine:
              ) -> EngineState:
         n = self.cfg.slots
         if fields is None:
-            fields = fs.zero_fields(n)
+            fields = tuple(jnp.zeros((n,), jnp.float32)
+                           for _ in range(self.n_fields))
+        if self.layout == "slim" and len(fields) == 8:
+            # accept packed8 initial state: (age, life) -> absolute death
+            # frame relative to frame 0 ((life - age)/dt; dead rows -> 0)
+            x, y, z, vx, vy, vz, age, life = fields
+            alive = (age <= life) & (life > 0)
+            death = jnp.where(alive, (life - age) / jnp.float32(self.cfg.dt),
+                              0.0)
+            fields = (x, y, z, vx, vy, vz, death)
+        assert len(fields) == self.n_fields, (len(fields), self.n_fields)
         if fields[0].shape[0] == n and self.shadow:
             pad = jnp.zeros((self.shadow,), jnp.float32)
             fields = tuple(jnp.concatenate([f, pad]) for f in fields)
@@ -93,7 +121,11 @@ class PackedEngine:
             # fields may alias caller arrays (e.g. pack_state views)
             fields = tuple(jnp.array(f) for f in fields)
         assert fields[0].shape[0] == self.total, fields[0].shape
-        fl, n_free = fs.refresh_free_list(fields, self.free_list_size)
+        if self.layout == "slim":
+            fl = jnp.zeros((1,), jnp.int32)
+            n_free = jnp.int32(0)
+        else:
+            fl, n_free = fs.refresh_free_list(fields, self.free_list_size)
         return EngineState(
             fields=tuple(fields),
             accum=jnp.zeros((max(1, len(self.cfg.emitters)),), jnp.float32),
@@ -111,8 +143,12 @@ class PackedEngine:
     def _frame(self, s: EngineState, salt=0) -> EngineState:
         cfg = self.cfg
         spawn, accum = em.spawn_fields(cfg, s.frame, s.accum, salt)
-        fields = self._physics(s.fields)
-        rows = fs.pack_spawn_rows(spawn)
+        if self.layout == "slim":
+            fields = fs.physics_step_slim(s.fields, cfg)
+            rows = fs.pack_spawn_rows_slim(spawn, s.frame, cfg.dt)
+        else:
+            fields = self._physics(s.fields)
+            rows = fs.pack_spawn_rows(spawn)
 
         if self.alloc == "ring":
             pad = self.shadow - rows[0].shape[0]
@@ -149,13 +185,21 @@ class PackedEngine:
         of choice when per-call dispatch latency would dominate (remote or
         heavily pipelined execution)."""
         if k not in self._step_many:
+            # unroll=2: XLA's TPU loop-fusion planner schedules the
+            # alternating-buffer body at the ~860 GB/s HBM ceiling, while
+            # the rolled loop stalls at ~660 GB/s (0.95 -> 0.73 ms/frame at
+            # 10M slots, measured on v5e — NOTES.md round-3 slim study)
             self._step_many[k] = jax.jit(
                 lambda st: jax.lax.fori_loop(
-                    0, k, lambda _, x: self._frame(x), st),
+                    0, k, lambda _, x: self._frame(x), st, unroll=2),
                 donate_argnums=0)
         return self._step_many[k](s)
 
     def alive_count(self, s: EngineState) -> jax.Array:
+        if self.layout == "slim":
+            death = s.fields[6][: self.cfg.slots]
+            return jnp.sum(
+                fs.alive_mask_slim(death, s.frame).astype(jnp.int32))
         age = s.fields[6][: self.cfg.slots]
         life = s.fields[7][: self.cfg.slots]
         return jnp.sum(((age <= life) & (life > 0)).astype(jnp.int32))
