@@ -228,6 +228,36 @@ def ring_spawn(fields: Fields, rows: Fields, valid: jax.Array,
     return written, (cursor + nv) % n_real
 
 
+def strided_spawn(fields: Fields, rows: Fields, valid: jax.Array,
+                  cursor: jax.Array, n_real: int):
+    """Budget-strided ring spawn: the minimal-op allocator.
+
+    The cursor advances by the FULL padded spawn budget ``S`` every frame
+    (not by the valid-row count), and ``n_real % S == 0`` is required, so
+    the write window never wraps mid-frame: no shadow region, no wrap
+    fold, no ``lax.cond``, no compaction cumsum/scatter — per field, one
+    ``dynamic_slice`` + ``where(valid, row, resident)`` + one
+    ``dynamic_update_slice``.  Invalid budget rows keep the window's
+    current residents (they survive until the cursor laps them).
+
+    Trade-off vs ``ring_spawn``: slots recycle after ``n_real / S`` frames
+    instead of ``n_real / n_valid`` — a ``S / n_valid`` shorter lap (~1.2x
+    at the bench scene's ~81% budget utilization).  Under saturation the
+    oldest SLOTS are replaced rather than the oldest spawns; below
+    saturation the alive-row multiset is identical to ``ring_spawn``'s
+    (verified bitwise in tests/test_slim_engine.py).
+    """
+    s = rows[0].shape[0]
+    assert n_real % s == 0, (n_real, s)
+    assert fields[0].shape[0] == n_real, (fields[0].shape, n_real)
+    written = []
+    for f, r in zip(fields, rows):
+        window = jax.lax.dynamic_slice(f, (cursor,), (s,))
+        written.append(jax.lax.dynamic_update_slice(
+            f, jnp.where(valid, r, window), (cursor,)))
+    return tuple(written), jax.lax.rem(cursor + s, jnp.int32(n_real))
+
+
 def pack_spawn_rows(spawn) -> Fields:
     """SpawnRows -> 8 per-field (S,) arrays (w is not carried on the packed
     path: emitter-scene forces are per-unit-mass)."""

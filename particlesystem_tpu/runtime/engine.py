@@ -18,6 +18,11 @@ Two allocation policies (``alloc=``):
   amortizes the O(N) compaction with <=K frames recycling latency.
 * ``"ring"`` — slots reused in spawn order through a ring cursor; O(S) per
   frame with no O(N) bookkeeping at all.  The production/bench default.
+* ``"strided"`` — budget-strided ring (``ops/fused_step.strided_spawn``):
+  the cursor advances by the full padded spawn budget every frame, so the
+  window never wraps and the whole compaction/shadow/cond machinery
+  disappears — the fewest-ops spawn path.  Requires ``slots`` divisible by
+  the padded budget; slots recycle one budget-lap sooner than ``ring``.
 
 Two physics kernels (``kernel=``): ``"xla"`` (default, fastest) and
 ``"pallas"`` (comparison / kernel scaffold).
@@ -73,15 +78,15 @@ class PackedEngine:
     def __init__(self, cfg: EmitterSceneConfig, refresh_interval: int = 1,
                  free_list_size: Optional[int] = None, alloc: str = "exact",
                  kernel: str = "xla", layout: str = "packed8"):
-        if alloc not in ("exact", "ring"):
+        if alloc not in ("exact", "ring", "strided"):
             raise ValueError(f"unknown alloc policy {alloc!r}")
         if kernel not in ("xla", "pallas"):
             raise ValueError(f"unknown kernel {kernel!r}")
         if layout not in ("packed8", "slim"):
             raise ValueError(f"unknown layout {layout!r}")
-        if layout == "slim" and (alloc != "ring" or kernel != "xla"):
-            raise ValueError("layout='slim' requires alloc='ring', "
-                             "kernel='xla'")
+        if layout == "slim" and (alloc == "exact" or kernel != "xla"):
+            raise ValueError("layout='slim' requires alloc='ring'/'strided',"
+                             " kernel='xla'")
         self.cfg = cfg
         self.alloc = alloc
         self.kernel = kernel
@@ -91,8 +96,13 @@ class PackedEngine:
         budget = cfg.max_spawn_per_step * self.refresh_interval
         self.free_list_size = int(free_list_size or max(1024, 4 * budget))
         # ring mode: shadow region sized to the (padded) spawn budget
-        self.shadow = (_round_up(cfg.max_spawn_per_step, 1024)
-                       if alloc == "ring" else 0)
+        self.spawn_width = _round_up(cfg.max_spawn_per_step, 1024)
+        self.shadow = self.spawn_width if alloc == "ring" else 0
+        if alloc == "strided" and cfg.slots % self.spawn_width:
+            raise ValueError(
+                f"alloc='strided' needs slots ({cfg.slots}) divisible by "
+                f"the padded spawn budget ({self.spawn_width}); round the "
+                f"capacity or use alloc='ring'")
         self.total = cfg.slots + self.shadow
         self._step = jax.jit(self._frame, donate_argnums=0)
         self._step_many = {}
@@ -121,7 +131,7 @@ class PackedEngine:
             # fields may alias caller arrays (e.g. pack_state views)
             fields = tuple(jnp.array(f) for f in fields)
         assert fields[0].shape[0] == self.total, fields[0].shape
-        if self.layout == "slim":
+        if self.layout == "slim" or self.alloc == "strided":
             fl = jnp.zeros((1,), jnp.int32)
             n_free = jnp.int32(0)
         else:
@@ -150,15 +160,19 @@ class PackedEngine:
             fields = self._physics(s.fields)
             rows = fs.pack_spawn_rows(spawn)
 
-        if self.alloc == "ring":
-            pad = self.shadow - rows[0].shape[0]
+        if self.alloc in ("ring", "strided"):
+            pad = self.spawn_width - rows[0].shape[0]
             if pad:
                 rows = tuple(jnp.pad(r, (0, pad)) for r in rows)
                 valid = jnp.pad(spawn.valid, (0, pad))
             else:
                 valid = spawn.valid
-            fields, cursor = fs.ring_spawn(fields, rows, valid, s.cursor,
-                                           cfg.slots)
+            if self.alloc == "strided":
+                fields, cursor = fs.strided_spawn(fields, rows, valid,
+                                                  s.cursor, cfg.slots)
+            else:
+                fields, cursor = fs.ring_spawn(fields, rows, valid, s.cursor,
+                                               cfg.slots)
             free_list, n_free = s.free_list, s.n_free
         else:
             def refresh(_):

@@ -110,6 +110,66 @@ def test_slim_matches_packed8_on_alive_rows():
         np.testing.assert_array_equal(a, b, err_msg=f"field {i}")
 
 
+def test_strided_matches_ring_alive_multiset():
+    """Below ring saturation, the budget-strided allocator must produce the
+    exact same MULTISET of alive rows as the compacting ring (same spawn
+    stream, same physics; only slot placement differs), in both layouts."""
+    # strided consumes a full padded budget (1024 slots) per frame whatever
+    # the spawn count, so "below saturation" for 60 frames needs >= 60 laps
+    # of headroom: 2^16 slots = 64 budget-widths
+    cfg = scene(capacity=1 << 16)
+    for layout in ("packed8", "slim"):
+        er = PackedEngine(cfg, alloc="ring", layout=layout)
+        es = PackedEngine(cfg, alloc="strided", layout=layout)
+        sr, ss = er.init(), es.init()
+        for _ in range(60):
+            sr, ss = er.step(sr), es.step(ss)
+        assert int(er.alive_count(sr)) == int(es.alive_count(ss)) > 300
+
+        def alive_rows(eng, s):
+            n = cfg.slots
+            if eng.layout == "slim":
+                m = np.asarray(fs.alive_mask_slim(s.fields[6][:n], s.frame))
+            else:
+                age = np.asarray(s.fields[6][:n])
+                life = np.asarray(s.fields[7][:n])
+                m = (age <= life) & (life > 0)
+            rows = np.stack([np.asarray(f[:n])[m] for f in s.fields], 1)
+            return rows[np.lexsort(rows.T)]
+
+        np.testing.assert_array_equal(alive_rows(er, sr), alive_rows(es, ss),
+                                      err_msg=layout)
+
+
+def test_strided_requires_divisible_capacity():
+    import pytest
+    # rate 80k/s at dt=1/60 -> padded budget 2048; slots=3072 isn't divisible
+    cfg = scene(capacity=3000, emitters=(
+        Emitter(pos=(0.0, 1.0, 0.0), direction=(0.0, 1.0, 0.0),
+                speed=8.0, rate=80_000.0),
+    ))
+    with pytest.raises(ValueError, match="divisible"):
+        PackedEngine(cfg, alloc="strided")
+
+
+def test_strided_saturation_recycles_slots():
+    """At saturation the strided cursor laps the buffer and replaces the
+    oldest slots; the population must stay bounded and healthy."""
+    cfg = scene(capacity=1024, emitters=(
+        Emitter(pos=(0.0, 1.0, 0.0), direction=(0.0, 1.0, 0.0),
+                speed=8.0, rate=3000.0, life_min=50.0, life_max=90.0),
+    ))
+    eng = PackedEngine(cfg, alloc="strided", layout="slim")
+    es = eng.init()
+    lap = cfg.slots // eng.spawn_width
+    for _ in range(4 * lap):
+        es = eng.step(es)
+    n_alive = int(eng.alive_count(es))
+    assert 0 < n_alive <= cfg.slots
+    x = np.asarray(es.fields[0][:cfg.slots])
+    assert np.isfinite(x).all()
+
+
 def test_slim_init_converts_packed8_fields():
     cfg = scene()
     n = cfg.slots

@@ -133,8 +133,11 @@ def main():
         eng = PackedEngine(cfg, alloc="ring", layout="slim")
         es = eng.init(full_packed(cfg, jax.random.key(0)))
         variants[mode] = (make_variant(cfg, eng, mode), es)
-    for layout, name in (("slim", "full"), ("packed8", "p8full")):
-        eng = PackedEngine(cfg, alloc="ring", layout=layout)
+    for layout, alloc, name in (("slim", "ring", "full"),
+                                ("packed8", "ring", "p8full"),
+                                ("slim", "strided", "strided"),
+                                ("packed8", "strided", "p8strided")):
+        eng = PackedEngine(cfg, alloc=alloc, layout=layout)
         es = eng.init(full_packed(cfg, jax.random.key(0)))
         variants[name] = ((lambda e: lambda s, k: e.step_many(s, k))(eng), es)
 
