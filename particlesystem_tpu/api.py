@@ -41,13 +41,14 @@ class ParticleSystem:
     def __init__(self, capacity: int = 1 << 20, dt: float = 1 / 60,
                  gravity=(0.0, -9.8, 0.0), wind=(0.0, 0.0, 0.0),
                  drag: float = 0.0, seed: int = 1, alloc: str = "ring",
-                 refresh_interval: int = 1):
+                 refresh_interval: int = 1, layout: str = "packed8"):
         self._base = dict(capacity=capacity, dt=dt, gravity=tuple(gravity),
                           wind=tuple(wind), drag=drag, seed=seed)
         self._emitters = []
         self._planes = []
         self._spheres = []
         self._alloc = alloc
+        self._layout = layout
         self._refresh = refresh_interval
         self._engine: Optional[PackedEngine] = None
         self._es = None
@@ -83,7 +84,8 @@ class ParticleSystem:
     def _ensure(self):
         if self._engine is None:
             self._engine = PackedEngine(self.config, alloc=self._alloc,
-                                        refresh_interval=self._refresh)
+                                        refresh_interval=self._refresh,
+                                        layout=self._layout)
             self._es = self._engine.init()
 
     # -- simulation ----------------------------------------------------------
@@ -105,13 +107,16 @@ class ParticleSystem:
 
     # -- state access ----------------------------------------------------------
     def packed(self) -> jax.Array:
-        """Device (8, capacity) packed state: x,y,z,vx,vy,vz,age,life."""
+        """Device (n_fields, capacity) packed state: x,y,z,vx,vy,vz then
+        (age, life) on the packed8 layout or (death_frame,) on slim."""
         self._ensure()
         n = self._engine.cfg.slots
         return jnp.stack([f[:n] for f in self._es.fields])
 
     def alive_mask(self) -> np.ndarray:
         p = np.asarray(self.packed())
+        if self._engine.layout == "slim":
+            return int(self._es.frame) < p[6]
         return (p[6] <= p[7]) & (p[7] > 0)
 
     def positions(self, alive_only: bool = True) -> np.ndarray:
@@ -124,7 +129,12 @@ class ParticleSystem:
         return int(self._engine.alive_count(self._es))
 
     def fade(self) -> np.ndarray:
-        """Per-particle alpha 1 - age/life (alive rows)."""
+        """Per-particle alpha 1 - age/life (alive rows).  Needs the packed8
+        layout: slim stores only the death frame (remaining lifetime is
+        exact, the age/life ratio is not reconstructible)."""
+        if self._engine is not None and self._engine.layout == "slim":
+            raise RuntimeError("fade() needs layout='packed8'; the slim "
+                               "layout does not carry age/life")
         p = np.asarray(self.packed())
         m = self.alive_mask()
         return 1.0 - p[6][m] / p[7][m]
@@ -132,7 +142,7 @@ class ParticleSystem:
     # -- render-loop readback -------------------------------------------------
     def enable_readback(self, depth: int = 3) -> AsyncReadback:
         self._ensure()
-        frame_bytes = 8 * self._engine.cfg.slots * 4
+        frame_bytes = self._engine.n_fields * self._engine.cfg.slots * 4
         self._readback = AsyncReadback(frame_bytes, depth)
         return self._readback
 

@@ -41,18 +41,20 @@ class ShardedEmitterEngine:
     """
 
     def __init__(self, cfg: EmitterSceneConfig, mesh: Mesh,
-                 alloc: str = "ring", refresh_interval: int = 1):
+                 alloc: str = "ring", refresh_interval: int = 1,
+                 layout: str = "packed8"):
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.d = mesh.devices.size
         self.cfg = cfg
         self.local = PackedEngine(_local_cfg(cfg, self.d), alloc=alloc,
-                                  refresh_interval=refresh_interval)
+                                  refresh_interval=refresh_interval,
+                                  layout=layout)
 
         ax = self.axis
         state_spec = EngineState(
-            fields=tuple([P(ax)] * 8), accum=P(ax), free_list=P(ax),
-            cursor=P(ax), n_free=P(ax), frame=P(ax))
+            fields=tuple([P(ax)] * self.local.n_fields), accum=P(ax),
+            free_list=P(ax), cursor=P(ax), n_free=P(ax), frame=P(ax))
 
         def device_frame(s: EngineState) -> EngineState:
             salt = jax.lax.axis_index(ax)
@@ -97,15 +99,22 @@ class ShardedEmitterEngine:
             n_local = self.local.cfg.slots
             total = self.local.total
             d = self.d
+            slim = self.local.layout == "slim"
 
             @jax.jit
-            def count(age, life):
+            def count(a, b):
                 # (D*total,) sharded on the device axis -> per-device view;
                 # the reshape keeps each (total,) row on its owning device so
                 # the sum reduces locally and combines with one collective.
-                age = age.reshape(d, total)[:, :n_local]
-                life = life.reshape(d, total)[:, :n_local]
-                return jnp.sum(((age <= life) & (life > 0)).astype(jnp.int32))
+                a = a.reshape(d, total)[:, :n_local]
+                if slim:  # a=death, b=per-device frame counters
+                    alive = b.reshape(d, 1).astype(jnp.float32) < a
+                else:     # a=age, b=life
+                    b = b.reshape(d, total)[:, :n_local]
+                    alive = (a <= b) & (b > 0)
+                return jnp.sum(alive.astype(jnp.int32))
 
             self._alive_count = count
+        if self.local.layout == "slim":
+            return int(self._alive_count(s.fields[6], s.frame))
         return int(self._alive_count(s.fields[6], s.fields[7]))

@@ -35,8 +35,10 @@ Two state layouts (``layout=``):
   Liveness is *derived* (``frame < death_frame``) instead of read-modify-
   written, and expired rows keep integrating (garbage until respawn; mask
   at readback with ``ops.fused_step.alive_mask_slim``).  13 HBM words per
-  particle-frame instead of 15 — the fastest path for HBM-bound scenes
-  (age for fade effects is still exact: ``(frame - (death - life/dt)) * dt``).
+  particle-frame instead of 15 — the fastest path for HBM-bound scenes.
+  Readback exposes exact REMAINING lifetime (``(death - frame) * dt``);
+  age itself is gone with the life field — scenes that need age/life fade
+  ratios belong on ``packed8``.
 """
 
 from __future__ import annotations

@@ -24,16 +24,25 @@ CFG = EmitterSceneConfig(
     seed=9)
 
 
-def test_sharded_emitter_engine_scales():
+@pytest.mark.parametrize("alloc,layout", [("ring", "packed8"),
+                                          ("ring", "slim"),
+                                          ("strided", "slim")])
+def test_sharded_emitter_engine_scales(alloc, layout):
     mesh = mesh_1d(8)
-    eng = ShardedEmitterEngine(CFG, mesh, alloc="ring")
+    eng = ShardedEmitterEngine(CFG, mesh, alloc=alloc, layout=layout)
     es = eng.init()
     for _ in range(40):
         es = eng.step(es)
     alive = eng.alive_count(es)
     assert 0 < alive <= CFG.slots
-    # steady-state fountain: rate * mean_life ~ 80k * 1.0 = ~80k > capacity/4
-    assert alive > CFG.slots // 4
+    if alloc == "strided":
+        # at this toy scale (2048 local slots, 1024 budget width) the
+        # strided cursor laps every 2 frames: population = ~2 frames of
+        # spawns per device, steady and bounded
+        assert alive > 8 * 2 * 100
+    else:
+        # steady-state fountain: rate * mean_life ~ 80k * 1.0 > capacity/4
+        assert alive > CFG.slots // 4
     # device shards must actually be decorrelated (different spawn streams)
     total = eng.local.total
     n = eng.local.cfg.slots
