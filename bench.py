@@ -141,10 +141,8 @@ def bench_nbody(n_fill: int = 1 << 20, grid_dim: int = 16,
     cfg = NBodyConfig(n_fill=n_fill, grid=GridSpec(grid_dim=grid_dim))
     state = nbody.init_fill(cfg)
 
-    q = 1 << 18
-    need = int(n_fill * 1.1) + 2 * cfg.max_spawns_per_frame
-    active = max(q, ((need + q - 1) // q) * q)
-    active = 0 if active >= cfg.slots else active
+    # THE production sizing rule (init_fill is already compacted)
+    active = nbody.pick_active(cfg, n_fill)
     print(f"n-body {n_fill}: frozen active prefix "
           f"{active or cfg.slots}/{cfg.slots}", file=sys.stderr)
 

@@ -132,7 +132,8 @@ class ParticleSystem:
         """Per-particle alpha 1 - age/life (alive rows).  Needs the packed8
         layout: slim stores only the death frame (remaining lifetime is
         exact, the age/life ratio is not reconstructible)."""
-        if self._engine is not None and self._engine.layout == "slim":
+        self._ensure()
+        if self._engine.layout == "slim":
             raise RuntimeError("fade() needs layout='packed8'; the slim "
                                "layout does not carry age/life")
         p = np.asarray(self.packed())
@@ -198,8 +199,12 @@ class NBodySimulation:
             # dynamic re-bucketing is unavailable: pick the prefix ONCE
             # from the fill count (init_fill is already compacted — alive
             # rows occupy [0, n_fill)) and keep that single step shape for
-            # the whole process.  Population only decays from the fill, so
-            # containment holds; n_tail_alive still guards it every frame.
+            # the whole process.  Population only decays from the fill in
+            # the reference configs, so containment holds; n_tail_alive
+            # guards row containment every frame and n_spawn_capped guards
+            # prefix free-slot saturation (a GROWING population can exhaust
+            # the frozen prefix's headroom without ever touching the tail —
+            # run() fails loudly instead of silently capping spawns).
             self._active = self._pick_active(cfg.n_fill)
             self._frozen_active = True
 
@@ -238,21 +243,12 @@ class NBodySimulation:
             self._step_jits[key] = fn
         return fn
 
-    #: active-prefix granularity (rows).  Coarse enough to bound the number
-    #: of compiled step programs, fine enough not to round a prefix up to
-    #: the next power of two.
-    ACTIVE_QUANTUM = 1 << 18
+    #: active-prefix granularity; see models/nbody.pick_active (shared with
+    #: bench.py so the bench measures the production program shape)
+    ACTIVE_QUANTUM = nbody.ACTIVE_QUANTUM
 
     def _pick_active(self, alive: int) -> int:
-        """Smallest quantized prefix holding the live rows plus TWO full
-        spawn-burst headrooms (prefix free slots can never fall below one
-        burst between bucket re-checks, so the prefix never caps a spawn
-        the full-width run would grant — the bit-exactness contract of
-        ``nbody.step(active=...)``) and 10% drift margin."""
-        q = self.ACTIVE_QUANTUM
-        need = int(alive * 1.1) + 2 * self.cfg.max_spawns_per_frame
-        b = max(q, ((need + q - 1) // q) * q)
-        return 0 if b >= self.cfg.slots else b
+        return nbody.pick_active(self.cfg, alive, self.ACTIVE_QUANTUM)
 
     def _apply_bucketing(self, alive: int) -> None:
         if self._frozen_active:
@@ -299,6 +295,21 @@ class NBodySimulation:
                 raise RuntimeError(
                     f"frame {self.frame}: {int(stats.n_tail_alive)} alive "
                     f"rows beyond active prefix {self._active}")
+            if self._active and int(stats.n_spawn_capped):
+                # the prefix ran out of free slots while the tail (alive
+                # count 0 by the guard above) still had room: children the
+                # full-width run would have granted were dropped, so the
+                # bit-exactness contract is broken.  The dynamic path
+                # re-buckets and cannot normally get here (_pick_active
+                # reserves 2 bursts); the FROZEN path (single-Pallas-shape
+                # platforms) cannot grow — checkpoint and reload in a fresh
+                # process to re-bucket (api.load re-picks the prefix).
+                raise RuntimeError(
+                    f"frame {self.frame}: active prefix {self._active} "
+                    f"saturated — {int(stats.n_spawn_capped)} spawns capped "
+                    f"that full width would grant"
+                    + ("; checkpoint+reload in a fresh process to re-bucket"
+                       if self._frozen_active else ""))
             if self.active_bucketing:
                 self._apply_bucketing(int(stats.n_alive))
             if int(stats.n_listed_dropped):
@@ -371,14 +382,7 @@ class NBodySimulation:
                 r = jax.jit(f)(*args)
                 jax.block_until_ready(jax.tree_util.tree_leaves(r)[0])
                 return r
-            try:
-                return dispatch()
-            except jax.errors.JaxRuntimeError:
-                jax.clear_caches()
-                return dispatch()
-            except (IndexError, ValueError):
-                jax.clear_caches()
-                return dispatch()
+            return recovering_call(dispatch)
 
         # ---- compute every stage's inputs with single dispatches --------
         arrays = dict(pos=state.pos, vel=state.vel, acc=state.acc,

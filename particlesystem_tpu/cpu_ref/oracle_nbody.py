@@ -153,6 +153,8 @@ def step(s: NpState, uvec: np.ndarray, fert: np.ndarray, frame: int,
         n_overflow_kills=int(overflow.sum()),
         n_survivals=int(survive.sum()),
         n_spawned=int(nfit),
+        n_spawn_capped=int(min(len(parents), cfg.max_spawns_per_frame)
+                           - nfit),
     )
     out = NpState(pos=pos, vel=vel, acc=accf, w=w, age=age, life=lifef,
                   alive=alive_out, parent=parent, tag=tag)

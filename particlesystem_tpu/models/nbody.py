@@ -56,6 +56,9 @@ class NBodyStats:
     n_overflow_kills: jax.Array
     n_survivals: jax.Array
     n_spawned: jax.Array
+    # children dropped because the operated width ran out of free slots
+    # (full width: genuine saturation; active prefix: contract violation)
+    n_spawn_capped: jax.Array
     n_listed_dropped: jax.Array
     max_cell_occupancy: jax.Array
     max_chunk_occupancy: jax.Array
@@ -247,6 +250,13 @@ def lifecycle_update(state: ParticleState, pos_w: jax.Array,
         n_overflow_kills=jnp.sum(overflow.astype(jnp.int32)),
         n_survivals=jnp.sum(survive.astype(jnp.int32)),
         n_spawned=k,
+        # children dropped for lack of free slots in the operated width
+        # (budget drops are already excluded by the min with e).  At full
+        # width this is genuine container saturation, mirrored by the
+        # oracle; under step(active=...) it means the PREFIX saturated
+        # while the tail may still have room — the bit-exactness contract
+        # is broken and the driver must fail loudly (api.NBodySimulation)
+        n_spawn_capped=jnp.minimum(n_child, jnp.int32(e)) - k,
     )
     return out, counts
 
@@ -321,6 +331,27 @@ def frame_fields(cfg: NBodyConfig, frame: jax.Array, tags: jax.Array):
     fert = rng.per_tag_uniform(rng.frame_key(cfg.seed, frame, rng.FERT), tags,
                                cfg.min_fertility_age, cfg.max_fertility_age)
     return uvec, fert
+
+
+#: active-prefix granularity (rows).  Coarse enough to bound the number of
+#: compiled step programs, fine enough not to round a prefix up to the next
+#: power of two.
+ACTIVE_QUANTUM = 1 << 18
+
+
+def pick_active(cfg: NBodyConfig, alive: int,
+                quantum: int = ACTIVE_QUANTUM) -> int:
+    """Smallest quantized active prefix holding ``alive`` rows plus TWO full
+    spawn-burst headrooms (prefix free slots can never fall below one burst
+    between bucket re-checks, so the prefix never caps a spawn the
+    full-width run would grant — the bit-exactness contract of
+    ``step(active=...)``) and 10% drift margin.  0 means full width.
+    THE single sizing rule: the driver (``api.NBodySimulation``) and
+    ``bench.py`` must both call this so published frame times measure the
+    production program shape."""
+    need = int(alive * 1.1) + 2 * cfg.max_spawns_per_frame
+    b = max(quantum, ((need + quantum - 1) // quantum) * quantum)
+    return 0 if b >= cfg.slots else b
 
 
 def compact_state(state: ParticleState) -> ParticleState:

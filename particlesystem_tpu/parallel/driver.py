@@ -118,8 +118,12 @@ class DistributedNBodySimulation:
     def gather(self) -> ParticleState:
         """Fetch the full global state to host memory (the ``pFetchBack``
         analog, ``particleSystem.cpp:1778-1786``) — slot arrangement is the
-        device-major layout the decomposition maintains."""
-        return jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), self.state)
+        device-major layout the decomposition maintains.  Under multi-process
+        meshes ``np.asarray`` cannot see the other processes' shards, so the
+        cross-host path rides ``process_allgather`` (every process receives
+        the full state — matching the reference's fetch-to-master, which the
+        master then rebroadcast via pmlib DSM)."""
+        return jax.tree.map(jnp.asarray, _to_host(self.state))
 
     def alive_count(self) -> int:
         if self.last_stats is not None:
@@ -180,7 +184,7 @@ class DistributedNBodySimulation:
                 if k in stats and int(stats[k]) != v:
                     events_match = False
             # alive rows as a multiset (slot allocation differs by design)
-            g = jax.tree.map(lambda a: np.asarray(a), dev)
+            g = _to_host(dev)
             rows_d = _alive_rows(g.pos, g.vel, g.age, g.life, g.alive)
             rows_o = _alive_rows(ora.pos, ora.vel, ora.age, ora.life,
                                  ora.alive)
@@ -229,7 +233,23 @@ class DistributedNBodySimulation:
         Returns the new sizes.  The marks are per-device maxima reduced over
         the mesh, so the margin covers frame-to-frame drift, not device
         imbalance.  If a later frame still overflows, ``run`` warns and the
-        red-path stats count every drop — nothing is silent."""
+        red-path stats count every drop — nothing is silent.
+
+        Unavailable on single-Pallas-shape platforms when the step carries
+        the Pallas kernel (``impl='blocks'``): the resized step is a SECOND
+        Pallas program shape whose re-dispatch wedges the TPU client
+        (``utils/dispatchbug.py``).  There, measure ``halo_used_max`` /
+        ``migration_used_max`` from ``run`` stats and construct the spec
+        with explicit capacities in a fresh process."""
+        from ..utils.dispatchbug import multi_pallas_shapes_safe
+        if (getattr(self.spec, "impl", "blocks") == "blocks"
+                and not multi_pallas_shapes_safe()):
+            raise RuntimeError(
+                "autosize_buffers would compile a second Pallas program "
+                "shape, which this platform cannot re-dispatch "
+                "(utils/dispatchbug.py); measure the high-water marks from "
+                "run() stats and set explicit spec capacities in a fresh "
+                "process")
         s = self.state
         halo_hw = mig_hw = 0
         for i in range(frames):
@@ -246,6 +266,18 @@ class DistributedNBodySimulation:
         self._step_fn, self._shard_state = self._make_step(
             self.cfg, self.spec, self.mesh)
         return kw
+
+
+def _to_host(state) -> ParticleState:
+    """Pytree of host numpy arrays for a (possibly multi-process) sharded
+    state.  ``np.asarray`` raises on arrays spanning non-addressable
+    devices, so the cross-host path rides ``process_allgather``."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return jax.tree.map(
+            lambda a: multihost_utils.process_allgather(a, tiled=True),
+            state)
+    return jax.tree.map(lambda a: np.asarray(a), state)
 
 
 def _alive_rows(pos, vel, age, life, alive) -> np.ndarray:

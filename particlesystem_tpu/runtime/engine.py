@@ -118,11 +118,15 @@ class PackedEngine:
                            for _ in range(self.n_fields))
         if self.layout == "slim" and len(fields) == 8:
             # accept packed8 initial state: (age, life) -> absolute death
-            # frame relative to frame 0 ((life - age)/dt; dead rows -> 0)
+            # frame relative to frame 0.  packed8 integrates a row while
+            # age <= life, i.e. floor((life-age)/dt) + 1 more steps from
+            # here (boundary INCLUSIVE: an age == life row is still alive),
+            # so the bare quotient would drop exactly-on-boundary rows from
+            # the census (frame 0 < death fails at death == 0); dead -> 0
             x, y, z, vx, vy, vz, age, life = fields
             alive = (age <= life) & (life > 0)
-            death = jnp.where(alive, (life - age) / jnp.float32(self.cfg.dt),
-                              0.0)
+            steps = jnp.floor((life - age) / jnp.float32(self.cfg.dt)) + 1.0
+            death = jnp.where(alive, steps, 0.0)
             fields = (x, y, z, vx, vy, vz, death)
         assert len(fields) == self.n_fields, (len(fields), self.n_fields)
         if fields[0].shape[0] == n and self.shadow:

@@ -117,6 +117,40 @@ def test_frozen_prefix_platform_mode(monkeypatch):
         a.run(2)
 
 
+def test_prefix_saturation_reports_spawn_cap():
+    """A saturated prefix (zero free slots inside, free room in the tail)
+    must REPORT the spawns it capped (stats.n_spawn_capped) — the silent
+    failure mode of the frozen-prefix platform: a growing population could
+    otherwise diverge from the full-width trajectory with every guard
+    still green (n_tail_alive only sees alive rows beyond the prefix)."""
+    st = nbody.init_fill(CFG)
+    n = st.slots
+    active = 1024
+    alive = np.zeros((n,), bool)
+    alive[:active] = True          # prefix completely full ...
+    age = np.full((n,), 0.2, np.float32)
+    life = np.full((n,), 5.0, np.float32)
+    age[:100] = 0.99               # ... and 100 rows explode this frame
+    life[:100] = 1.0
+    st = dataclasses.replace(
+        st, alive=jnp.asarray(alive), age=jnp.asarray(age),
+        life=jnp.asarray(life),
+        parent=jnp.zeros((n,), bool))
+
+    _, stats_pfx = nbody.step(st, jnp.int32(0), CFG, 0, "dense", active)
+    _, stats_full = nbody.step(st, jnp.int32(0), CFG, 0, "dense", 0)
+    # full width grants every child from the dead tail; the prefix can't
+    # (a few of the 100 candidates may be collision-killed before
+    # exploding, identically in both runs — compare the two runs, not 100)
+    # (same-frame deaths free a few prefix slots, granting that many)
+    assert int(stats_full.n_spawn_capped) == 0
+    assert int(stats_pfx.n_spawned) < int(stats_full.n_spawned)
+    capped = int(stats_pfx.n_spawn_capped)
+    assert capped == int(stats_full.n_spawned) - int(stats_pfx.n_spawned)
+    assert capped > 80
+    assert int(stats_pfx.n_tail_alive) == 0  # the old guard saw nothing
+
+
 def test_driver_bucketing_matches_unbucketed_run():
     cfg = dataclasses.replace(CFG, capacity=1 << 20)  # large enough that
     # _pick_active actually selects a shrunken prefix

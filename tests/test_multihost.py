@@ -65,6 +65,17 @@ def _run_workers(decomp: str):
     s0 = json.loads(stats_lines[0][6:])
     s1 = json.loads(stats_lines[1][6:])
     assert s0 == s1  # both processes observed identical global stats
+
+    # the unified driver crossed the process boundary too: gather() rode
+    # process_allgather (both processes see the identical global state),
+    # validate() matched the oracle, save() wrote a checkpoint
+    drv = [json.loads(l[7:]) for o in outs for l in o.splitlines()
+           if l.startswith("DRIVER ")]
+    assert len(drv) == 2
+    assert drv[0] == drv[1]
+    assert drv[0]["events_match"]
+    assert drv[0]["max_dev"] < 1e-3
+    assert drv[0]["alive"] > 0
     return s0
 
 

@@ -83,3 +83,25 @@ for frame in range(3):
     out.append({k: int(np.asarray(v)) for k, v in stats.items()})
 
 print("STATS " + json.dumps(out), flush=True)
+
+# -- the unified driver across the process boundary -------------------------
+# gather() must ride process_allgather here (np.asarray cannot see the other
+# process's shards); validate() runs the production step against the numpy
+# oracle, save() checkpoints the gathered global state.
+import tempfile  # noqa: E402
+
+from particlesystem_tpu.parallel.driver import (  # noqa: E402
+    DistributedNBodySimulation)
+
+sim = DistributedNBodySimulation(CFG, spec, mesh=mesh)
+sim.run(2)
+g = sim.gather()
+v = sim.validate(1)
+path = os.path.join(tempfile.mkdtemp(), "ckpt.npz")
+sim.save(path)
+assert os.path.exists(path)
+digest = float(np.asarray(g.pos).sum()) + float(np.asarray(g.age).sum())
+print("DRIVER " + json.dumps({
+    "alive": sim.alive_count(), "digest": round(digest, 3),
+    "events_match": bool(v["events_match"]),
+    "max_dev": float(v["max_row_deviation"])}), flush=True)
