@@ -80,7 +80,7 @@ def _cmd_demo(args):
 
     ps = (ParticleSystem(capacity=args.capacity, dt=1 / 60,
                          gravity=(0, -9.8, 0), drag=0.2, wind=(2.0, 0, 0),
-                         alloc="ring")
+                         alloc=args.alloc, layout=args.layout)
           .add_emitter(pos=(0.0, 1.0, 0.0), rate=args.capacity * 0.5,
                        speed=9.0, life_min=1.0, life_max=2.0)
           .add_plane(restitution=0.5, friction=0.2))
@@ -118,6 +118,12 @@ def main(argv=None):
     p = sub.add_parser("demo", help="run an emitter demo scene")
     p.add_argument("--capacity", type=int, default=1 << 20)
     p.add_argument("--frames", type=int, default=600)
+    p.add_argument("--alloc", choices=("exact", "ring", "strided"),
+                   default="ring", help="slot recycling policy")
+    p.add_argument("--layout", choices=("packed8", "slim"),
+                   default="packed8",
+                   help="state layout (slim: derived liveness, 13 vs 15 "
+                        "HBM words/particle-frame)")
     p.set_defaults(fn=_cmd_demo)
 
     p = sub.add_parser("bench", help="run the headline benchmark")
