@@ -43,6 +43,30 @@ def test_particle_system_api(tmp_path):
     np.testing.assert_array_equal(np.asarray(ps.packed()), before)
 
 
+def test_particle_system_slim_checkpoint(tmp_path):
+    """The slim layout's 7-field EngineState must round-trip through the
+    npz checkpoint (pytree-generic save/load) and resume bit-exactly."""
+    ps = (ParticleSystem(capacity=4096, dt=1 / 60, gravity=(0, -9.8, 0),
+                         layout="slim", alloc="strided")
+          .add_emitter(pos=(0.0, 1.0, 0.0), rate=20_000.0, speed=8.0,
+                       life_min=0.5, life_max=1.0)
+          .add_plane(restitution=0.5, friction=0.2))
+    ps.step(30)
+    assert ps.packed().shape[0] == 7
+    assert 0 < ps.alive_count() <= 4096
+    path = str(tmp_path / "ck.npz")
+    ps.save(path)
+    before = np.asarray(ps.packed())
+    frame_before = ps.frame
+    ps.step(5)
+    ps.load(path)
+    np.testing.assert_array_equal(np.asarray(ps.packed()), before)
+    # liveness is derived from (death, frame): the frame counter must have
+    # been restored too or every age-derived mask is wrong
+    assert ps.frame == frame_before
+    ps.step(5)  # resumes cleanly
+
+
 def test_nbody_simulation_driver(tmp_path):
     cfg = NBodyConfig(n_fill=500, capacity=2048,
                       grid=GridSpec(grid_dim=8, chunk_factor=2),
