@@ -51,7 +51,9 @@ def test_sharded_emitter_engine_scales(alloc, layout):
     assert not np.array_equal(x0, x1)
 
 
-def test_sharded_emitter_matches_independent_locals():
+@pytest.mark.parametrize("alloc,layout", [("ring", "packed8"),
+                                          ("strided", "slim")])
+def test_sharded_emitter_matches_independent_locals(alloc, layout):
     """Cross-device trajectory parity for the DP emitter engine (VERDICT r2
     weak #7): the sharded step is, by construction, D independent local
     engines with the device index folded into the spawn keys — so running
@@ -59,7 +61,7 @@ def test_sharded_emitter_matches_independent_locals():
     trajectory.  This pins the shard_map plumbing (axis indexing, state
     slicing/stacking, donation) to the single-device PackedEngine."""
     mesh = mesh_1d(8)
-    eng = ShardedEmitterEngine(CFG, mesh, alloc="ring")
+    eng = ShardedEmitterEngine(CFG, mesh, alloc=alloc, layout=layout)
     es = eng.init()
     n_frames = 25
     for _ in range(n_frames):
@@ -72,7 +74,7 @@ def test_sharded_emitter_matches_independent_locals():
         ls = local.init()
         for _ in range(n_frames):
             ls = step_d(ls, jnp.int32(d))
-        for fi in range(8):
+        for fi in range(local.n_fields):
             np.testing.assert_allclose(
                 np.asarray(es.fields[fi][d * total:(d + 1) * total]),
                 np.asarray(ls.fields[fi]),
