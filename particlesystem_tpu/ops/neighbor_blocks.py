@@ -22,12 +22,35 @@ system):
   (``bodyBodyInteraction``, ``app_common.cu:236-267``).
 
 Snapshot layout: one (16, N_pad) f32 array — rows x, y, z, pad, i1, i2,
-i3, cnn=i1^2+i2^2+i3^2, gid (int32 BITCAST to f32: exact at any slot
-count), age, w, w*x, w*y, w*z, pad, pad — so a chunk is ONE strided DMA
-and every per-pair quantity lives in lane-major (B, CH) tiles.  Rows that
-fail the sorted-side validity test (dead, or past the per-cell cap) get
-unique out-of-band cell coordinates (-10 - row%2^20), which excludes them
-from every mask with zero extra per-pair ops.
+i3, pad, gid (int32 BITCAST to f32: exact at any slot count), age, w,
+w*x, w*y, w*z, cgid (collision-window-gated gid, INT32_MIN bits outside
+[kid_age, particle_life]), pad — so a chunk is ONE strided DMA and every
+per-pair quantity lives in lane-major (B, CH) tiles.
+
+**All gating is folded into the snapshot so the kernel's only per-pair
+tests are the cell-delta stencil, the id inequality and the contact
+radius** (measured: every extra (B, CH) mask op costs full VPU lanes):
+
+* rows that fail the sorted-side validity test (dead, past the per-cell
+  cap) AND rows outside the adult gravity window (age < kid_age — kids
+  neither exert nor receive gravity, ``bodyBodyInteraction`` gates on
+  NEWBORN_TIME, ``app_common.cu:236-267``) get out-of-band cell
+  coordinates, so the stencil test ``cd2 <= 3.5`` rejects them with zero
+  extra ops.  Coordinates are spaced 2 apart within a band (adjacent
+  out-of-band rows must NOT pass the stencil: their REAL positions and
+  weights would inject garbage forces into live kid rows) and the
+  kid band [-10 - 2^20, -10] is disjoint from the dead band
+  [-2^22 - 2^20, -2^22] (a kid/dead coordinate collision would do the
+  same; dead rows carry w=0 but OVERFLOW rows do not).  All values stay
+  < 2^23 so in-band f32 differences are exact integers.  Axes i1/i3 and
+  i2 use COPRIME row moduli (2^19 and 2^19-1): a stencil can reach rows
+  a whole cell-plane away (~800k rows at 10M/32^3, past a single 2^19
+  wrap), and two distinct rows only collide on BOTH axes if their index
+  difference is a multiple of 2^19*(2^19-1) ~ 2^38 — unreachable.
+* the collision age window [kid_age, particle_life] rides the cgid
+  column: ineligible rows carry INT32_MIN bits and can never win the
+  gmax reduction; the MINE-side window is applied after the unsort
+  (one elementwise (N,) op fused into the epilogue).
 
 Collision results leave the kernel as ONE reduction: gmax = max int32 gid
 over colliding neighbors (INT32_MIN if none) — ``kill = gmax > my_gid``
@@ -131,19 +154,31 @@ def prepare(pos0, age0, w0, cell, alive, cfg: NBodyConfig, dims=None,
     valid_s = (skey < num_cells) & (rank < cap)
     overflow_s = (skey < num_cells) & (rank >= cap)
 
-    # invalid rows get unique out-of-band coords so every per-pair mask
-    # rejects them via cd^2 alone (zero extra per-pair ops in the kernel)
-    badc = -10.0 - (iot % (1 << 20)).astype(f)
+    # fold the age gates into the snapshot (see module docstring): invalid
+    # and kid rows get banded out-of-band coords (stencil rejects them via
+    # cd^2 alone), collision eligibility rides a pre-gated gid column.
+    # Per-axis COPRIME moduli (2^19 and the prime 2^19-1): a single shared
+    # sequence would wrap at 2^19 rows, and at the 10M/32^3 config a block's
+    # stencil reaches rows a full cell-plane away (~400-800k > 2^19), so two
+    # distinct out-of-band rows could collide and pass the stencil; with
+    # coprime moduli a collision needs p == q (mod 2^19 * (2^19-1) ~ 2^38).
+    kid = jnp.float32(cfg.kid_age)
+    lifec = jnp.float32(cfg.particle_life)
+    coord_ok = valid_s & (sage >= kid)
+    base = jnp.where(valid_s, -10.0, -4194304.0)
+    bad_a = base - (2 * (iot % (1 << 19))).astype(f)
+    bad_b = base - (2 * (iot % ((1 << 19) - 1))).astype(f)
     i3q = skey // plane_stride
     remq = skey % plane_stride
-    i1s = jnp.where(valid_s, (remq // row_stride).astype(f), badc)
-    i2s = jnp.where(valid_s, (remq % row_stride).astype(f), badc)
-    i3s = jnp.where(valid_s, i3q.astype(f), badc)
-    cnn = i1s * i1s + i2s * i2s + i3s * i3s
+    i1s = jnp.where(coord_ok, (remq // row_stride).astype(f), bad_a)
+    i2s = jnp.where(coord_ok, (remq % row_stride).astype(f), bad_b)
+    i3s = jnp.where(coord_ok, i3q.astype(f), bad_a)
+    imin_bits = jax.lax.bitcast_convert_type(jnp.int32(_IMIN), f)
+    cgid = jnp.where(coord_ok & (sage <= lifec), sgid, imin_bits)
     zero = jnp.zeros((n,), f)
     snap = jnp.stack([
-        sx, sy, sz, zero, i1s, i2s, i3s, cnn,
-        sgid, sage, sw, sw * sx, sw * sy, sw * sz, zero, zero,
+        sx, sy, sz, zero, i1s, i2s, i3s, zero,
+        sgid, sage, sw, sw * sx, sw * sy, sw * sz, cgid, zero,
     ], axis=0)                               # (16, N), no transpose needed
     snap = jnp.pad(snap, ((0, 0), (0, ch)))  # chunk reads never go OOB
 
@@ -226,12 +261,10 @@ def prepare(pos0, age0, w0, cell, alive, cfg: NBodyConfig, dims=None,
 # ---------------------------------------------------------------------------
 
 
-def _kernel(cfg: NBodyConfig, b: int, ch: int, acc_mxu: bool, cell_mxu: bool,
+def _kernel(cfg: NBodyConfig, b: int, ch: int, acc_mxu: bool,
             depth: int, acc_wide: bool,
             chunks_ref, mine_ref, snap_ref, out_ref, nbuf, acc_ref, imax_ref,
             sem):
-    kid = jnp.float32(cfg.kid_age)
-    lifec = jnp.float32(cfg.particle_life)
     r2 = jnp.float32(cfg.collision_radius) ** 2
     eps2 = jnp.float32(cfg.eps2)
 
@@ -242,11 +275,7 @@ def _kernel(cfg: NBodyConfig, b: int, ch: int, acc_mxu: bool, cell_mxu: bool,
     mi1 = mine[4].reshape(b, 1)
     mi2 = mine[5].reshape(b, 1)
     mi3 = mine[6].reshape(b, 1)
-    cmm = mine[7].reshape(b, 1)
     mgid = jax.lax.bitcast_convert_type(mine[8], jnp.int32).reshape(b, 1)
-    mage = mine[4 + 5].reshape(b, 1)
-    madult = mage >= kid
-    myoung_adult = madult & (mage <= lifec)
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
     imax_ref[:] = jnp.full_like(imax_ref, _IMIN)
@@ -280,11 +309,14 @@ def _kernel(cfg: NBodyConfig, b: int, ch: int, acc_mxu: bool, cell_mxu: bool,
         hi = chunks_ref[0, j, 2]
 
         # --- cheap (1, CH) row vectors ---------------------------------
+        # age gating lives in the snapshot (out-of-band coords + pre-gated
+        # cgid column, see prepare) — in_rng is the ONLY semantic row mask
+        # left (range dedup: rows outside [lo, hi) may be covered by a
+        # different range of the same block)
         in_rng = (colr >= lo) & (colr < hi)
-        nage = nb[9].reshape(1, ch)
-        row_g = in_rng & (nage >= kid)            # gravity-eligible column
-        row_c = row_g & (nage <= lifec)           # collision-eligible column
         ngid = jax.lax.bitcast_convert_type(nb[8], jnp.int32).reshape(1, ch)
+        ncgid = jax.lax.bitcast_convert_type(nb[14],
+                                             jnp.int32).reshape(1, ch)
 
         # --- (B, CH) pair tiles ----------------------------------------
         dx = nb[0].reshape(1, ch) - mx
@@ -292,28 +324,18 @@ def _kernel(cfg: NBodyConfig, b: int, ch: int, acc_mxu: bool, cell_mxu: bool,
         dz = nb[2].reshape(1, ch) - mz
         d2 = dx * dx + dy * dy + dz * dz
 
-        if cell_mxu:
-            # exact in f32: integer coords, products < 2^24 for valid rows;
-            # invalid rows' huge coords survive the cancellation by margin
-            cn = jax.lax.dot_general(
-                mine[4:7], nb[4:7], (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)       # (B, CH)
-            cd2 = (cmm + nb[7].reshape(1, ch)) - 2.0 * cn
-        else:
-            e1 = nb[4].reshape(1, ch) - mi1
-            e2 = nb[5].reshape(1, ch) - mi2
-            e3 = nb[6].reshape(1, ch) - mi3
-            cd2 = e1 * e1 + e2 * e2 + e3 * e3
+        e1 = nb[4].reshape(1, ch) - mi1
+        e2 = nb[5].reshape(1, ch) - mi2
+        e3 = nb[6].reshape(1, ch) - mi3
+        cd2 = e1 * e1 + e2 * e2 + e3 * e3
 
         # 27-stencil (dist^2 <= 3 on integer cell deltas) + self exclusion
-        pg = ((cd2 <= 3.5) & (ngid != mgid)) & (madult & row_g)
+        pg = (cd2 <= 3.5) & (ngid != mgid) & in_rng
         dd = d2 + eps2
         rs = jax.lax.rsqrt(dd)
         s = jnp.where(pg, rs * rs * rs, 0.0)
 
-        pc = (pg & (d2 <= r2)) & (myoung_adult & row_c)
-        gsel = jnp.where(pc, ngid, _IMIN)
+        gsel = jnp.where(pg & (d2 <= r2), ncgid, _IMIN)
         if acc_wide:
             # defer the expensive cross-lane reductions to once per block:
             # accumulate full (B, CH) tiles elementwise (sum/max are
@@ -379,7 +401,7 @@ def _kernel(cfg: NBodyConfig, b: int, ch: int, acc_mxu: bool, cell_mxu: bool,
 def kernel_call(cfg: NBodyConfig, snap, chunks, n: int,
                 c_max: int | None = None, ch: int | None = None,
                 b: int | None = None, acc_mxu: bool = False,
-                cell_mxu: bool = False, depth: int | None = None,
+                depth: int | None = None,
                 acc_wide: bool | None = None) -> jax.Array:
     """Invoke the Pallas cluster-pair kernel on prepared inputs; returns the
     raw sorted-order (8, n) output (rows 0-2 acc, row 3 gmax bits).  Shared
@@ -397,8 +419,7 @@ def kernel_call(cfg: NBodyConfig, snap, chunks, n: int,
         acc_scratch = [pltpu.VMEM((8, b), jnp.float32),
                        pltpu.VMEM((8, b), jnp.int32)]
     return pl.pallas_call(
-        functools.partial(_kernel, cfg, b, ch, acc_mxu, cell_mxu, depth,
-                          acc_wide),
+        functools.partial(_kernel, cfg, b, ch, acc_mxu, depth, acc_wide),
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
         grid=(nb_blocks,),
         in_specs=[
@@ -444,7 +465,7 @@ def unsort_outputs(out, order, overflow_s, ids=None):
 def neighbor_pass_blocks(pos0, age0, w0, cell, alive, cfg: NBodyConfig,
                          dims=None, ids=None, c_max: int | None = None,
                          ch: int | None = None, b: int | None = None,
-                         acc_mxu: bool = False, cell_mxu: bool = False,
+                         acc_mxu: bool = False,
                          depth: int | None = None,
                          acc_wide: bool | None = None,
                          ) -> Tuple[jax.Array, jax.Array, jax.Array,
@@ -454,8 +475,8 @@ def neighbor_pass_blocks(pos0, age0, w0, cell, alive, cfg: NBodyConfig,
     max_cell_occupancy, per-cell counts, n_chunks_dropped) — same semantics
     as ``ops/neighbor.neighbor_pass`` plus the grid-build byproducts (no cell
     lists are materialized).  ``dims``/``ids``/``c_max`` as in
-    :func:`prepare`; ``ch``/``b``/``acc_mxu``/``cell_mxu`` select the tile
-    sizes and MXU-offload variants (defaults are the swept-best on v5e).
+    :func:`prepare`; ``ch``/``b``/``acc_mxu`` select the tile sizes and the
+    MXU accumulation offload (defaults are the swept-best on v5e).
     A nonzero ``n_chunks_dropped`` means some blocks' stencils exceeded the
     chunk budget and interactions were LOST — callers must surface it
     (``NBodyStats.n_listed_dropped``)."""
@@ -467,11 +488,16 @@ def neighbor_pass_blocks(pos0, age0, w0, cell, alive, cfg: NBodyConfig,
         pos0, age0, w0, cell, alive, cfg, dims=dims, ids=ids, c_max=c_max,
         ch=ch, b=b)
     out = kernel_call(cfg, snap, chunks, n, c_max=c_max, ch=ch, b=b,
-                      acc_mxu=acc_mxu, cell_mxu=cell_mxu, depth=depth,
-                      acc_wide=acc_wide)
+                      acc_mxu=acc_mxu, depth=depth, acc_wide=acc_wide)
     # unsort by sorting on the forward permutation (all keys distinct): an
     # (N,8) row SCATTER costs ~170 ms at 2M rows on v5e, the carrying sort
     # ~10 ms.  The sorted-side overflow flag rides along as a free column.
     acc, kill, touch, overflow = unsort_outputs(out, order, overflow_s,
                                                 ids=ids)
+    # MINE-side collision age window (the neighbor side rides the pre-gated
+    # cgid column; see prepare) — one elementwise op fused into the epilogue
+    win = (age0 >= jnp.float32(cfg.kid_age)) \
+        & (age0 <= jnp.float32(cfg.particle_life))
+    kill = kill & win
+    touch = touch & win
     return acc, kill, touch, overflow, max_occ, counts, n_dropped

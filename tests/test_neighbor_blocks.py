@@ -101,7 +101,30 @@ def test_chunk_budget_overflow_is_reported():
     assert int(stats.n_listed_dropped) > 0
 
 
-def test_step_impl_blocks_trajectory_matches_dense():
+def test_out_of_band_coords_unique_past_wrap():
+    """Out-of-band (kid/dead/overflow) stencil coordinates must be UNIQUE
+    across rows: band values are even-spaced and the bases are even, so any
+    coordinate-triple collision gives cd2 = 0 <= 3.5 and injects a garbage
+    pair (a live kid row paired with a far-away kid/overflow row's REAL
+    position).  A single shared 2^19 row modulus collides at pair distance
+    2^19 — reachable at the 10M/32^3 config where a block's stencil spans a
+    whole cell plane (~400-800k rows); the per-axis coprime moduli make the
+    effective wrap 2^19*(2^19-1).  This builds > 2^19 rows and checks the
+    invariant directly on the prepared snapshot."""
+    b = 512
+    n = (1 << 19) + 4 * b                      # past the single-modulus wrap
+    cfg = NBodyConfig(n_fill=16, capacity=n // 2, x_factor=2.0,
+                      grid=GridSpec(grid_dim=4, chunk_factor=2), seed=0)
+    pos = jnp.zeros((n, 3), jnp.float32)       # all in one cell
+    age = jnp.zeros((n,), jnp.float32)         # all kids (< kid_age)
+    w = jnp.full((n,), 60.0, jnp.float32)
+    cell = jnp.zeros((n,), jnp.int32)
+    alive = (jnp.arange(n) % 2 == 0)           # half kid band, half dead band
+    snap, *_ = nbk.prepare(pos, age, w, cell, alive, cfg, b=b)
+    coords = np.asarray(snap[4:7, :n])         # (3, N) — all out-of-band
+    assert coords.max() < 0                    # nothing got in-band coords
+    triples = coords.T.copy().view([("a", "f4"), ("b", "f4"), ("c", "f4")])
+    assert len(np.unique(triples)) == n
     cfg = CONFIGS["dense-g4"]
     sa = sb = nbody.init_fill(cfg)
     for f in range(6):

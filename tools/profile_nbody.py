@@ -12,7 +12,6 @@ until the sync so none can be cancelled.
 
 from __future__ import annotations
 
-import functools
 import sys
 import time
 from functools import partial
@@ -105,32 +104,10 @@ def main():
         partial(nbk.prepare, cfg=cfg))(pos0, age0, w0, cell, alive)
     _sync(snap)
 
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     @jax.jit
     def kernel_piece(snap, chunks):
-        nb_blocks = n // nbk.B
-        return pl.pallas_call(
-            functools.partial(nbk._kernel, cfg, nbk.B, nbk.CH, False, False),
-            out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
-            grid=(nb_blocks,),
-            in_specs=[
-                pl.BlockSpec((1, nbk.C_MAX, 4), lambda i: (i, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((16, nbk.B), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec((8, nbk.B), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((2, 16, nbk.CH), jnp.float32),
-                pltpu.VMEM((8, nbk.B), jnp.float32),
-                pltpu.VMEM((8, nbk.B), jnp.int32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        )(chunks, snap[:, :n], snap)
+        return nbk.kernel_call(cfg, snap, chunks, n,
+                               acc_mxu=cfg.fast_accum)
     out8 = kernel_piece(snap, chunks)
     _sync(out8)
     timed("pallas kernel", kernel_piece, snap, chunks)
