@@ -80,13 +80,15 @@ def _sync(es) -> float:
 def bench_capacity(capacity: int, k_short: int = 16, k_long: int = 112,
                    reps: int = 5, soak: int = 0):
     cfg = scene(capacity)
-    # layout choice: the slim layout (liveness derived from a spawn-time
-    # death frame, 13 HBM words/particle-frame vs 15 — see runtime/engine.py)
-    # wins on physics alone (~7% at 10M) but currently loses it back in the
-    # ring-spawn machinery (interleaved A/B in tools/profile_slim.py:
-    # engine med 1.14 vs 0.97 ms); packed8 stays the bench default until
-    # the spawn-path fusion break is fixed (tools/probe_spawn_overhead.py)
-    eng = PackedEngine(cfg, alloc="ring",
+    # alloc='select' (spawn as a broadcast-select fused into the physics
+    # pass over natively-2D state — runtime/engine.py) runs at the physics
+    # floor: 0.746 ms med at 10M vs 0.978 ring / 1.124 strided (interleaved
+    # A/B in tools/profile_slim.py; the DUS-copy study that motivated it is
+    # tools/probe_spawn_overhead.py).  packed8 beats slim once spawn is
+    # free (0.746 vs 0.823): slim's 13-vs-15-word advantage is smaller than
+    # its costlier alive-mask compare chain.
+    eng = PackedEngine(cfg,
+                       alloc=os.environ.get("PS_BENCH_ALLOC", "select"),
                        layout=os.environ.get("PS_BENCH_LAYOUT", "packed8"))
     es = eng.init(full_packed(cfg, jax.random.key(0)))
 

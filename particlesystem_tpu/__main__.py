@@ -118,8 +118,10 @@ def main(argv=None):
     p = sub.add_parser("demo", help="run an emitter demo scene")
     p.add_argument("--capacity", type=int, default=1 << 20)
     p.add_argument("--frames", type=int, default=600)
-    p.add_argument("--alloc", choices=("exact", "ring", "strided"),
-                   default="ring", help="slot recycling policy")
+    p.add_argument("--alloc", choices=("exact", "ring", "strided", "select"),
+                   default="ring",
+                   help="slot recycling policy (select: fused broadcast-"
+                        "select spawn over 2-D state, the fastest path)")
     p.add_argument("--layout", choices=("packed8", "slim"),
                    default="packed8",
                    help="state layout (slim: derived liveness, 13 vs 15 "

@@ -110,8 +110,7 @@ class ParticleSystem:
         """Device (n_fields, capacity) packed state: x,y,z,vx,vy,vz then
         (age, life) on the packed8 layout or (death_frame,) on slim."""
         self._ensure()
-        n = self._engine.cfg.slots
-        return jnp.stack([f[:n] for f in self._es.fields])
+        return jnp.stack(self._engine.flat_fields(self._es))
 
     def alive_mask(self) -> np.ndarray:
         p = np.asarray(self.packed())

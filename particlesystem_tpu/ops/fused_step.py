@@ -258,6 +258,39 @@ def strided_spawn(fields: Fields, rows: Fields, valid: jax.Array,
     return tuple(written), jax.lax.rem(cursor + s, jnp.int32(n_real))
 
 
+def select_spawn(fields: Fields, rows: Fields, valid: jax.Array,
+                 cursor: jax.Array, n_real: int):
+    """Broadcast-select spawn over natively-2D ``(n_real/W, W)`` fields —
+    strided recycling semantics with the write expressed as pure
+    elementwise ops so it fuses INTO the physics pass.
+
+    Why not ``dynamic_update_slice``: on TPU any DUS of a W-row window into
+    the big 1-D field arrays costs a full extra copy pass (~0.33 ms at 10M
+    slots on v5e) because XLA materializes the physics fusion and then the
+    DUS re-copies every array — measured identical for static offsets and
+    write-only forms, while reshaping to 2-D at the op boundary adds ~0.7 ms
+    of layout copies (tools/probe_spawn_overhead.py).  Keeping the state 2-D
+    makes the write window exactly row ``cursor/W``, so
+    ``where(b==lap & valid[j], row[j], physics[b,j])`` — one (B,1) iota
+    compare and a (1,W) broadcast of the spawn rows — is all that is left,
+    and XLA schedules the whole frame as ONE streaming pass: 0.81 ms/frame
+    at 10M vs 0.97 (packed8/ring) / 1.20 (slim/ring).
+
+    Semantics are bitwise-identical to :func:`strided_spawn` (same slots,
+    same values, invalid budget rows keep the window's physics-stepped
+    residents); the cursor stays a slot offset advancing W per frame.
+    """
+    w = rows[0].shape[0]
+    b_rows, w2 = fields[0].shape
+    assert w2 == w and b_rows * w == n_real, (fields[0].shape, w, n_real)
+    lap = jax.lax.div(cursor, jnp.int32(w))
+    bmask = (jnp.arange(b_rows, dtype=jnp.int32) == lap)[:, None]
+    sel = bmask & valid[None, :]                              # (B, W)
+    out = tuple(jnp.where(sel, r[None, :], f)
+                for f, r in zip(fields, rows))
+    return out, jax.lax.rem(cursor + jnp.int32(w), jnp.int32(n_real))
+
+
 def pack_spawn_rows(spawn) -> Fields:
     """SpawnRows -> 8 per-field (S,) arrays (w is not carried on the packed
     path: emitter-scene forces are per-unit-mass)."""

@@ -75,7 +75,9 @@ class ShardedEmitterEngine:
         d = self.d
         ls = self.local.init()
         rep = lambda a: jnp.broadcast_to(a[None], (d,) + a.shape)
-        tile = lambda f: jnp.tile(f, d)
+        # fields are (total,) flat, or (b_rows, W) 2-D for alloc='select';
+        # either way the global array stacks D local copies along dim 0
+        tile = lambda f: jnp.tile(f, (d,) + (1,) * (f.ndim - 1))
         state = EngineState(
             fields=tuple(tile(f) for f in ls.fields),
             accum=rep(ls.accum), free_list=rep(ls.free_list),
@@ -101,16 +103,25 @@ class ShardedEmitterEngine:
             d = self.d
             slim = self.local.layout == "slim"
 
+            select = self.local.alloc == "select"
+
             @jax.jit
             def count(a, b):
-                # (D*total,) sharded on the device axis -> per-device view;
-                # the reshape keeps each (total,) row on its owning device so
-                # the sum reduces locally and combines with one collective.
-                a = a.reshape(d, total)[:, :n_local]
+                # (D*total,) flat (or (D*b_rows, W) for select) sharded on
+                # the device axis -> per-device view; the reshape keeps each
+                # device's rows on their owning device so the sum reduces
+                # locally and combines with one collective.
+                if select:  # (D*b_rows, W): all rows real, no shadow trim
+                    a = a.reshape(d, -1)
+                else:
+                    a = a.reshape(d, total)[:, :n_local]
                 if slim:  # a=death, b=per-device frame counters
                     alive = b.reshape(d, 1).astype(jnp.float32) < a
                 else:     # a=age, b=life
-                    b = b.reshape(d, total)[:, :n_local]
+                    if select:
+                        b = b.reshape(d, -1)
+                    else:
+                        b = b.reshape(d, total)[:, :n_local]
                     alive = (a <= b) & (b > 0)
                 return jnp.sum(alive.astype(jnp.int32))
 

@@ -23,6 +23,19 @@ Two allocation policies (``alloc=``):
   window never wraps and the whole compaction/shadow/cond machinery
   disappears — the fewest-ops spawn path.  Requires ``slots`` divisible by
   the padded budget; slots recycle one budget-lap sooner than ``ring``.
+* ``"select"`` — strided recycling semantics with the spawn write expressed
+  as a pure elementwise broadcast-select over natively-2D state: fields are
+  ``(slots/W, W)`` with W the padded spawn budget, the write window IS row
+  ``cursor/W``, and ``out[b,j] = where(b==lap & valid[j], row[j], phys)``
+  fuses into the physics pass.  This exists because ANY
+  ``dynamic_update_slice`` of a spawn window into the big 1-D arrays costs
+  a full extra copy pass on TPU (~0.33 ms at 10M: XLA materializes the
+  physics fusion, then the DUS re-copies every array — measured; static
+  offsets and write-only variants cost the same, and reshaping at the
+  2-D boundary costs ~0.7 ms more, see tools/probe_spawn_overhead.py).
+  The select form is the only shape XLA keeps in ONE fused pass: 0.81 ms
+  vs 0.97 (packed8/ring) / 1.20 (slim/ring) per 10M frame on v5e.  The
+  fastest path; alive-row multiset bitwise-identical to ``strided``.
 
 Two physics kernels (``kernel=``): ``"xla"`` (default, fastest) and
 ``"pallas"`` (comparison / kernel scaffold).
@@ -80,15 +93,18 @@ class PackedEngine:
     def __init__(self, cfg: EmitterSceneConfig, refresh_interval: int = 1,
                  free_list_size: Optional[int] = None, alloc: str = "exact",
                  kernel: str = "xla", layout: str = "packed8"):
-        if alloc not in ("exact", "ring", "strided"):
+        if alloc not in ("exact", "ring", "strided", "select"):
             raise ValueError(f"unknown alloc policy {alloc!r}")
         if kernel not in ("xla", "pallas"):
             raise ValueError(f"unknown kernel {kernel!r}")
         if layout not in ("packed8", "slim"):
             raise ValueError(f"unknown layout {layout!r}")
         if layout == "slim" and (alloc == "exact" or kernel != "xla"):
-            raise ValueError("layout='slim' requires alloc='ring'/'strided',"
-                             " kernel='xla'")
+            raise ValueError("layout='slim' requires alloc='ring'/'strided'/"
+                             "'select', kernel='xla'")
+        if alloc == "select" and kernel != "xla":
+            raise ValueError("alloc='select' requires kernel='xla' (the "
+                             "pallas comparison kernel assumes flat fields)")
         self.cfg = cfg
         self.alloc = alloc
         self.kernel = kernel
@@ -100,12 +116,17 @@ class PackedEngine:
         # ring mode: shadow region sized to the (padded) spawn budget
         self.spawn_width = _round_up(cfg.max_spawn_per_step, 1024)
         self.shadow = self.spawn_width if alloc == "ring" else 0
-        if alloc == "strided" and cfg.slots % self.spawn_width:
+        if alloc in ("strided", "select") and cfg.slots % self.spawn_width:
             raise ValueError(
-                f"alloc='strided' needs slots ({cfg.slots}) divisible by "
+                f"alloc={alloc!r} needs slots ({cfg.slots}) divisible by "
                 f"the padded spawn budget ({self.spawn_width}); round the "
                 f"capacity or use alloc='ring'")
         self.total = cfg.slots + self.shadow
+        # select mode: fields live as (b_rows, spawn_width)
+        self.b_rows = cfg.slots // self.spawn_width if alloc == "select" \
+            else None
+        self.field_shape = ((self.b_rows, self.spawn_width)
+                            if alloc == "select" else (self.total,))
         self._step = jax.jit(self._frame, donate_argnums=0)
         self._step_many = {}
 
@@ -129,15 +150,21 @@ class PackedEngine:
             death = jnp.where(alive, steps, 0.0)
             fields = (x, y, z, vx, vy, vz, death)
         assert len(fields) == self.n_fields, (len(fields), self.n_fields)
-        if fields[0].shape[0] == n and self.shadow:
+        if self.alloc == "select":
+            # (n,) or already-(b_rows, W) input -> the native 2-D layout;
+            # reshape produces fresh buffers, so donation never aliases
+            # caller arrays
+            fields = tuple(jnp.asarray(f).reshape(self.field_shape)
+                           for f in fields)
+        elif fields[0].shape[0] == n and self.shadow:
             pad = jnp.zeros((self.shadow,), jnp.float32)
             fields = tuple(jnp.concatenate([f, pad]) for f in fields)
         else:
             # defensive copy: step() donates its input, and caller-provided
             # fields may alias caller arrays (e.g. pack_state views)
             fields = tuple(jnp.array(f) for f in fields)
-        assert fields[0].shape[0] == self.total, fields[0].shape
-        if self.layout == "slim" or self.alloc == "strided":
+        assert fields[0].shape == self.field_shape, fields[0].shape
+        if self.layout == "slim" or self.alloc in ("strided", "select"):
             fl = jnp.zeros((1,), jnp.int32)
             n_free = jnp.int32(0)
         else:
@@ -166,14 +193,17 @@ class PackedEngine:
             fields = self._physics(s.fields)
             rows = fs.pack_spawn_rows(spawn)
 
-        if self.alloc in ("ring", "strided"):
+        if self.alloc in ("ring", "strided", "select"):
             pad = self.spawn_width - rows[0].shape[0]
             if pad:
                 rows = tuple(jnp.pad(r, (0, pad)) for r in rows)
                 valid = jnp.pad(spawn.valid, (0, pad))
             else:
                 valid = spawn.valid
-            if self.alloc == "strided":
+            if self.alloc == "select":
+                fields, cursor = fs.select_spawn(fields, rows, valid,
+                                                 s.cursor, cfg.slots)
+            elif self.alloc == "strided":
                 fields, cursor = fs.strided_spawn(fields, rows, valid,
                                                   s.cursor, cfg.slots)
             else:
@@ -215,11 +245,24 @@ class PackedEngine:
                 donate_argnums=0)
         return self._step_many[k](s)
 
+    def flat_fields(self, s: EngineState) -> Tuple[jax.Array, ...]:
+        """Per-field ``(slots,)`` views of the live region — drops the ring
+        shadow and flattens the select layout (slot i of the select layout
+        is element ``(i // W, i % W)``, so flattening preserves slot
+        order).  The readback/inspection shape; not for the hot loop."""
+        if self.alloc == "select":
+            return tuple(f.reshape(-1) for f in s.fields)
+        return tuple(f[: self.cfg.slots] for f in s.fields)
+
     def alive_count(self, s: EngineState) -> jax.Array:
         if self.layout == "slim":
-            death = s.fields[6][: self.cfg.slots]
+            death = self._live_region(s.fields[6])
             return jnp.sum(
                 fs.alive_mask_slim(death, s.frame).astype(jnp.int32))
-        age = s.fields[6][: self.cfg.slots]
-        life = s.fields[7][: self.cfg.slots]
+        age = self._live_region(s.fields[6])
+        life = self._live_region(s.fields[7])
         return jnp.sum(((age <= life) & (life > 0)).astype(jnp.int32))
+
+    def _live_region(self, f: jax.Array) -> jax.Array:
+        """The real slots of one field, in native shape (no flatten)."""
+        return f if self.alloc == "select" else f[: self.cfg.slots]

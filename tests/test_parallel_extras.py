@@ -26,7 +26,9 @@ CFG = EmitterSceneConfig(
 
 @pytest.mark.parametrize("alloc,layout", [("ring", "packed8"),
                                           ("ring", "slim"),
-                                          ("strided", "slim")])
+                                          ("strided", "slim"),
+                                          ("select", "slim"),
+                                          ("select", "packed8")])
 def test_sharded_emitter_engine_scales(alloc, layout):
     mesh = mesh_1d(8)
     eng = ShardedEmitterEngine(CFG, mesh, alloc=alloc, layout=layout)
@@ -35,24 +37,29 @@ def test_sharded_emitter_engine_scales(alloc, layout):
         es = eng.step(es)
     alive = eng.alive_count(es)
     assert 0 < alive <= CFG.slots
-    if alloc == "strided":
+    if alloc in ("strided", "select"):
         # at this toy scale (2048 local slots, 1024 budget width) the
-        # strided cursor laps every 2 frames: population = ~2 frames of
-        # spawns per device, steady and bounded
+        # strided/select cursor laps every 2 frames: population = ~2 frames
+        # of spawns per device, steady and bounded
         assert alive > 8 * 2 * 100
     else:
         # steady-state fountain: rate * mean_life ~ 80k * 1.0 > capacity/4
         assert alive > CFG.slots // 4
     # device shards must actually be decorrelated (different spawn streams)
-    total = eng.local.total
-    n = eng.local.cfg.slots
-    x0 = np.asarray(es.fields[0][:n])
-    x1 = np.asarray(es.fields[0][total:total + n])
+    if alloc == "select":  # (D*b_rows, W): one device = b_rows rows
+        f = np.asarray(es.fields[0]).reshape(8, -1)
+        x0, x1 = f[0], f[1]
+    else:
+        total = eng.local.total
+        n = eng.local.cfg.slots
+        x0 = np.asarray(es.fields[0][:n])
+        x1 = np.asarray(es.fields[0][total:total + n])
     assert not np.array_equal(x0, x1)
 
 
 @pytest.mark.parametrize("alloc,layout", [("ring", "packed8"),
-                                          ("strided", "slim")])
+                                          ("strided", "slim"),
+                                          ("select", "slim")])
 def test_sharded_emitter_matches_independent_locals(alloc, layout):
     """Cross-device trajectory parity for the DP emitter engine (VERDICT r2
     weak #7): the sharded step is, by construction, D independent local
@@ -67,8 +74,9 @@ def test_sharded_emitter_matches_independent_locals(alloc, layout):
     for _ in range(n_frames):
         es = eng.step(es)
 
-    total = eng.local.total
     local = eng.local
+    # per-device block along dim 0: `total` flat slots, or b_rows 2-D rows
+    blk = local.b_rows if local.alloc == "select" else local.total
     step_d = jax.jit(local._frame)
     for d in range(8):
         ls = local.init()
@@ -76,7 +84,7 @@ def test_sharded_emitter_matches_independent_locals(alloc, layout):
             ls = step_d(ls, jnp.int32(d))
         for fi in range(local.n_fields):
             np.testing.assert_allclose(
-                np.asarray(es.fields[fi][d * total:(d + 1) * total]),
+                np.asarray(es.fields[fi][d * blk:(d + 1) * blk]),
                 np.asarray(ls.fields[fi]),
                 rtol=1e-6, atol=1e-7, err_msg=f"device {d} field {fi}")
         np.testing.assert_array_equal(np.asarray(es.cursor[d]),

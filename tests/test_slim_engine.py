@@ -141,6 +141,43 @@ def test_strided_matches_ring_alive_multiset():
                                       err_msg=layout)
 
 
+def test_select_matches_strided_bitwise():
+    """``alloc='select'`` is ``alloc='strided'`` with the spawn write fused
+    as a broadcast-select over natively-2D state — same slots, same values:
+    the FULL flattened state must agree bitwise every frame, both layouts
+    (select slot i lives at (i // W, i % W), so flattening restores slot
+    order exactly)."""
+    cfg = scene(capacity=1 << 14)
+    for layout in ("packed8", "slim"):
+        es_ = PackedEngine(cfg, alloc="strided", layout=layout)
+        ec = PackedEngine(cfg, alloc="select", layout=layout)
+        ss, sc = es_.init(), ec.init()
+        assert sc.fields[0].shape == (ec.b_rows, ec.spawn_width)
+        for frame in range(40):
+            ss, sc = es_.step(ss), ec.step(sc)
+            np.testing.assert_array_equal(
+                np.asarray(ss.cursor), np.asarray(sc.cursor))
+        for fi, (a, b) in enumerate(zip(es_.flat_fields(ss),
+                                        ec.flat_fields(sc))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"{layout} field {fi}")
+        assert int(es_.alive_count(ss)) == int(ec.alive_count(sc)) > 100
+
+
+def test_select_init_accepts_flat_and_2d_fields():
+    cfg = scene(capacity=1 << 14)
+    eng = PackedEngine(cfg, alloc="select", layout="slim")
+    flat = tuple(jnp.arange(cfg.slots, dtype=jnp.float32) + i
+                 for i in range(7))
+    s1 = eng.init(flat)
+    s2 = eng.init(tuple(f.reshape(eng.b_rows, eng.spawn_width)
+                        for f in flat))
+    for a, b, src in zip(s1.fields, s2.fields, flat):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(a).reshape(-1),
+                                      np.asarray(src))
+
+
 def test_strided_requires_divisible_capacity():
     import pytest
     # rate 80k/s at dt=1/60 -> padded budget 2048; slots=3072 isn't divisible

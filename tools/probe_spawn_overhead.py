@@ -38,7 +38,7 @@ from particlesystem_tpu.runtime.engine import PackedEngine
 
 
 def make_variant(cfg, eng, mode):
-    shadow = eng.shadow
+    shadow = eng.spawn_width  # padded spawn budget (== shadow for ring)
     n_real = cfg.slots
 
     def frame(s):
@@ -86,6 +86,40 @@ def make_variant(cfg, eng, mode):
 
         if mode == "nofold":
             pass
+        elif mode == "static0":
+            # window write at STATIC offset 0 (wrong semantics, timing only):
+            # isolates the cost of the DYNAMIC start index in ds/dus
+            written = []
+            for i, f in enumerate(fields):
+                window = jax.lax.dynamic_slice(f, (0,), (sz,))
+                window = jnp.where(col < nv, rc8[:, i], window)
+                written.append(jax.lax.dynamic_update_slice(f, window, (0,)))
+            written = tuple(written)
+        elif mode == "writeonly":
+            # skip the resident read: unconditional window overwrite (wrong
+            # semantics - invalid rows clobber residents; timing only):
+            # isolates dynamic_slice READ vs dynamic_update_slice WRITE
+            written = tuple(
+                jax.lax.dynamic_update_slice(f, rc8[:, i], (s.cursor,))
+                for i, f in enumerate(fields))
+        elif mode == "row2d":
+            # window write through a (N/sz, sz) 2-D view: the dynamic index
+            # rides dim 0 only (lane offset static 0) - the layout-friendly
+            # form of an sz-ALIGNED window write (strided-alloc cursors are
+            # always multiples of sz; timing uses lap = cursor // sz)
+            lap = s.cursor // sz
+            written = []
+            for i, f in enumerate(fields):
+                f2d = f[:n_real].reshape(n_real // sz, sz)
+                window = jax.lax.dynamic_slice(f2d, (lap, 0), (1, sz))
+                window = jnp.where((col < nv)[None, :], rc8[None, :, i],
+                                   window)
+                f2d = jax.lax.dynamic_update_slice(f2d, window, (lap, 0))
+                out = f2d.reshape(n_real)
+                if f.shape[0] != n_real:  # re-attach shadow region untouched
+                    out = jnp.concatenate([out, f[n_real:]])
+                written.append(out)
+            written = tuple(written)
         elif mode == "nocond":
             out = []
             for f in written:
@@ -100,9 +134,10 @@ def make_variant(cfg, eng, mode):
         else:
             raise ValueError(mode)
 
+        step = sz if mode == "row2d" else nv
         return s.__class__(fields=written, accum=accum,
                            free_list=s.free_list,
-                           cursor=(s.cursor + nv) % n_real,
+                           cursor=(s.cursor + step) % n_real,
                            n_free=s.n_free, frame=s.frame + 1)
 
     return jax.jit(
@@ -111,7 +146,44 @@ def make_variant(cfg, eng, mode):
         static_argnums=1, donate_argnums=0)
 
 
-def slope_once(fn, state, k_short=8, k_long=40):
+def make_select2d(cfg, width):
+    """Spawn as a pure elementwise broadcast-select over natively-2D state:
+    fields are (B, W) with W = padded spawn budget; the write window IS row
+    ``lap``, so the spawn write fuses into the physics pass (no DUS, no
+    scatter, no reshape) — out[b,j] = where(b==lap & valid[j], row[j], phys).
+    Strided-alloc recycling semantics (cursor advances one full row/frame).
+    """
+    n_real = cfg.slots
+    assert n_real % width == 0
+    b_rows = n_real // width
+
+    def frame(s):
+        spawn, accum = em.spawn_fields(cfg, s.frame, s.accum, 0)
+        fields = fs.physics_step_slim(s.fields, cfg)
+        rows = fs.pack_spawn_rows_slim(spawn, s.frame, cfg.dt)
+        pad = width - rows[0].shape[0]
+        if pad:
+            rows = tuple(jnp.pad(r, (0, pad)) for r in rows)
+            valid = jnp.pad(spawn.valid, (0, pad))
+        else:
+            valid = spawn.valid
+        bmask = (jnp.arange(b_rows, dtype=jnp.int32) == s.cursor)[:, None]
+        sel = bmask & valid[None, :]                       # (B, W)
+        written = tuple(jnp.where(sel, r[None, :], f)
+                        for f, r in zip(fields, rows))
+        return s.__class__(fields=written, accum=accum,
+                           free_list=s.free_list,
+                           cursor=jax.lax.rem(s.cursor + 1,
+                                              jnp.int32(b_rows)),
+                           n_free=s.n_free, frame=s.frame + 1)
+
+    return jax.jit(
+        lambda st, k: jax.lax.fori_loop(0, k, lambda _, x: frame(x), st,
+                                        unroll=2),
+        static_argnums=1, donate_argnums=0)
+
+
+def slope_once(fn, state, k_short=16, k_long=112):
     t0 = time.perf_counter()
     state = fn(state, k_short)
     float(jnp.sum(jax.tree_util.tree_leaves(state)[0][:8]))
@@ -129,8 +201,11 @@ def main():
     cfg = scene(capacity)
 
     variants = {}
-    for mode in ("physonly", "rngonly", "nofold", "nocond"):
-        eng = PackedEngine(cfg, alloc="ring", layout="slim")
+    for mode in ("physonly", "rngonly", "nofold", "nocond",
+                 "static0", "writeonly", "row2d"):
+        # row2d models the aligned strided window: no shadow region
+        alloc = "strided" if mode == "row2d" else "ring"
+        eng = PackedEngine(cfg, alloc=alloc, layout="slim")
         es = eng.init(full_packed(cfg, jax.random.key(0)))
         variants[mode] = (make_variant(cfg, eng, mode), es)
     for layout, alloc, name in (("slim", "ring", "full"),
@@ -141,11 +216,21 @@ def main():
         es = eng.init(full_packed(cfg, jax.random.key(0)))
         variants[name] = ((lambda e: lambda s, k: e.step_many(s, k))(eng), es)
 
+    # natively-2D broadcast-select spawn (see make_select2d)
+    eng = PackedEngine(cfg, alloc="strided", layout="slim")
+    es = eng.init(full_packed(cfg, jax.random.key(0)))
+    w = eng.spawn_width
+    es = es.__class__(
+        fields=tuple(f.reshape(cfg.slots // w, w) for f in es.fields),
+        accum=es.accum, free_list=es.free_list,
+        cursor=es.cursor, n_free=es.n_free, frame=es.frame)
+    variants["select2d"] = (make_select2d(cfg, w), es)
+
     states = {}
     for name, (fn, st) in variants.items():
         t0 = time.perf_counter()
-        st = fn(st, 8)
-        st = fn(st, 40)
+        st = fn(st, 16)
+        st = fn(st, 112)
         float(jnp.sum(jax.tree_util.tree_leaves(st)[0][:8]))
         states[name] = st
         print(f"warm {name}: {time.perf_counter()-t0:.1f}s", flush=True)

@@ -31,7 +31,7 @@ from particlesystem_tpu.ops import fused_step as fs
 from particlesystem_tpu.runtime.engine import PackedEngine
 
 
-def slope_once(fn, state, k_short=8, k_long=40):
+def slope_once(fn, state, k_short=16, k_long=112):
     """One slope sample: ms/frame net of dispatch latency."""
     t0 = time.perf_counter()
     state = fn(state, k_short)
@@ -69,16 +69,20 @@ def main():
         tuple(jnp.array(a) for a in f7))
 
     for layout in ("packed8", "slim"):
-        eng = PackedEngine(cfg, alloc="ring", layout=layout)
-        es = eng.init(full_packed(cfg, jax.random.key(0)))
-        variants[f"engine_{layout}"] = (
-            (lambda e: lambda s, k: e.step_many(s, k))(eng), es)
+        for alloc in ("ring", "strided", "select"):
+            try:
+                eng = PackedEngine(cfg, alloc=alloc, layout=layout)
+            except ValueError:
+                continue  # strided needs slots divisible by the padded budget
+            es = eng.init(full_packed(cfg, jax.random.key(0)))
+            variants[f"engine_{layout}_{alloc}"] = (
+                (lambda e: lambda s, k: e.step_many(s, k))(eng), es)
 
     # compile + warm every variant once before any timing
     states = {}
     for name, (fn, st) in variants.items():
-        st = fn(st, 8)
-        st = fn(st, 40)
+        st = fn(st, 16)
+        st = fn(st, 112)
         float(jnp.sum(jax.tree_util.tree_leaves(st)[0][:8]))
         states[name] = st
 
