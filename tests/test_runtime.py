@@ -67,6 +67,31 @@ def test_particle_system_slim_checkpoint(tmp_path):
     ps.step(5)  # resumes cleanly
 
 
+def test_particle_system_select_checkpoint(tmp_path):
+    """alloc='select' keeps the state natively (slots/W, W) 2-D — the
+    pytree-generic checkpoint must round-trip those shapes and the cursor,
+    and packed() must keep presenting the flat (n_fields, slots) view."""
+    ps = (ParticleSystem(capacity=4096, dt=1 / 60, gravity=(0, -9.8, 0),
+                         alloc="select")
+          .add_emitter(pos=(0.0, 1.0, 0.0), rate=20_000.0, speed=8.0,
+                       life_min=0.5, life_max=1.0)
+          .add_plane(restitution=0.5, friction=0.2))
+    ps.step(30)
+    assert ps.packed().shape == (8, 4096)
+    assert 0 < ps.alive_count() <= 4096
+    path = str(tmp_path / "ck.npz")
+    ps.save(path)
+    before = np.asarray(ps.packed())
+    cursor_before = int(ps._es.cursor)
+    ps.step(5)
+    ps.load(path)
+    np.testing.assert_array_equal(np.asarray(ps.packed()), before)
+    # recycling position must be restored: the select write window is
+    # derived from the cursor alone
+    assert int(ps._es.cursor) == cursor_before
+    ps.step(5)  # resumes cleanly
+
+
 def test_nbody_simulation_driver(tmp_path):
     cfg = NBodyConfig(n_fill=500, capacity=2048,
                       grid=GridSpec(grid_dim=8, chunk_factor=2),
