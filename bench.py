@@ -121,9 +121,28 @@ def bench_capacity(capacity: int, k_short: int = 16, k_long: int = 112,
     return cfg.slots / per_frame, per_frame * 1e3, alive
 
 
+def bench_nbody_warm(n_fill: int, grid_dim: int, frames: int, path: str):
+    """Phase 1 of the two-process n-body bench: run the initial-collapse
+    frames through the production driver (frozen fill-sized prefix — the
+    only Pallas shape this process dispatches) and checkpoint the plateau
+    state.  The measuring process reloads it fresh and gets the
+    plateau-sized prefix (``api.NBodySimulation.load`` re-picks before the
+    first step) — the documented production flow for right-sizing a
+    long-running sim on this single-Pallas-shape-per-process platform
+    (utils/dispatchbug.py)."""
+    from particlesystem_tpu.api import NBodySimulation
+    from particlesystem_tpu.core.config import GridSpec, NBodyConfig
+
+    cfg = NBodyConfig(n_fill=n_fill, grid=GridSpec(grid_dim=grid_dim))
+    sim = NBodySimulation(cfg, impl="blocks")
+    sim.run(frames)
+    sim.save(path)
+    return (sim._active or cfg.slots, int(sim.last_stats.n_alive), sim.frame)
+
+
 def bench_nbody(n_fill: int = 1 << 20, grid_dim: int = 16,
                 k: int = 2, d_short: int = 1, d_long: int = 2,
-                reps: int = 3):
+                reps: int = 3, ckpt: str = ""):
     """The reference simulation (cluster-pair Pallas kernel) — per-frame
     time by dispatch-count slope, the same method ``bench_capacity`` uses:
     the ~25 ms relay sync latency of the remote-attached TPU is a fixed
@@ -134,19 +153,28 @@ def bench_nbody(n_fill: int = 1 << 20, grid_dim: int = 16,
     the ONLY Pallas-bearing shape this process ever dispatches: on this
     platform the second dispatch of a second Pallas shape wedges the TPU
     client (utils/dispatchbug.py), so the bench mirrors the production
-    driver exactly — frozen active prefix sized from the fill count
-    (api.NBodySimulation._pick_active; init_fill is already compacted),
-    warm-up and measurement through the same program."""
+    driver exactly.  With ``ckpt`` (the two-process flow, see
+    ``bench_nbody_warm``) the prefix is re-picked from the loaded plateau
+    population (786k/2.10M rows at 1M, 5.5M/20.97M at 10M) exactly as
+    ``api.load`` does for any user; without it the prefix is sized from
+    the fill count (init_fill is already compacted)."""
+    from particlesystem_tpu.api import NBodySimulation
     from particlesystem_tpu.core.config import GridSpec, NBodyConfig
     from particlesystem_tpu.models import nbody
 
     cfg = NBodyConfig(n_fill=n_fill, grid=GridSpec(grid_dim=grid_dim))
-    state = nbody.init_fill(cfg)
-
-    # THE production sizing rule (init_fill is already compacted)
-    active = nbody.pick_active(cfg, n_fill)
-    print(f"n-body {n_fill}: frozen active prefix "
-          f"{active or cfg.slots}/{cfg.slots}", file=sys.stderr)
+    if ckpt:
+        sim = NBodySimulation(cfg, impl="blocks")
+        sim.load(ckpt)  # fresh process: load() re-picks the active prefix
+        state, frame0, active = sim.state, sim.frame, sim._active
+    else:
+        state = nbody.init_fill(cfg)
+        frame0 = 0
+        # THE production sizing rule (init_fill is already compacted)
+        active = nbody.pick_active(cfg, n_fill)
+    print(f"n-body {n_fill}: active prefix "
+          f"{active or cfg.slots}/{cfg.slots} from frame {frame0}",
+          file=sys.stderr)
 
     def body(i, carry):
         s, _ = carry
@@ -168,7 +196,7 @@ def bench_nbody(n_fill: int = 1 << 20, grid_dim: int = 16,
     # the window the reference's own 10-iteration run length lives in,
     # common.h:69; past it the population collapses in expiry waves and
     # per-frame cost is no longer comparable between rounds).
-    state, stats, frame = run_d(state, 0, 2)
+    state, stats, frame = run_d(state, frame0, 1 if ckpt else 2)
     samples = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -178,7 +206,10 @@ def bench_nbody(n_fill: int = 1 << 20, grid_dim: int = 16,
         state, stats, frame = run_d(state, frame, d_long)
         t_long = time.perf_counter() - t0
         samples.append((t_long - t_short) / ((d_long - d_short) * (k + 1)))
-    assert int(stats.n_tail_alive) == 0  # prefix contract held throughout
+    # bit-exactness contract held throughout: no alive rows beyond the
+    # prefix, no spawns capped that full width would have granted
+    assert int(stats.n_tail_alive) == 0
+    assert int(stats.n_spawn_capped) == 0
     return float(np.median(samples)) * 1e3, int(stats.n_alive)
 
 
@@ -189,26 +220,28 @@ STAGES = {
     "cap_1m": lambda: bench_capacity(1 << 20, k_short=64, k_long=1024,
                                      reps=7, soak=4),
     "cap_10m": lambda: bench_capacity(10 * (1 << 20)),
-    "nbody_1m": lambda: bench_nbody(),
-    "nbody_10m": lambda: bench_nbody(n_fill=10 << 20, grid_dim=32,
-                                     k=1, reps=2),
+    "nbody_warm_1m": lambda ckpt: bench_nbody_warm(1 << 20, 16, 3, ckpt),
+    "nbody_warm_10m": lambda ckpt: bench_nbody_warm(10 << 20, 32, 3, ckpt),
+    "nbody_1m": lambda ckpt="": bench_nbody(ckpt=ckpt),
+    "nbody_10m": lambda ckpt="": bench_nbody(n_fill=10 << 20, grid_dim=32,
+                                             k=1, reps=2, ckpt=ckpt),
 }
 
 
-def run_stage(name: str):
-    r = STAGES[name]()
+def run_stage(name: str, args):
+    r = STAGES[name](*args)
     print("RESULT " + json.dumps(list(r)), flush=True)
 
 
-def _stage_in_subprocess(name: str):
+def _stage_in_subprocess(name: str, *args: str):
     """One bench stage per process: the jax-0.9 dispatch-cache bug poisons
     re-dispatch of NEW jit signatures once several Pallas-bearing programs
-    coexist (tools/repro_jax_dispatch_bug.py), and the four stages compile
+    coexist (tools/repro_jax_dispatch_bug.py), and the stages compile
     ~10 signatures between them."""
     import subprocess
 
     proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--stage", name],
+        [sys.executable, os.path.abspath(__file__), "--stage", name, *args],
         capture_output=True, text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)))
     for line in proc.stderr.splitlines():
@@ -220,10 +253,29 @@ def _stage_in_subprocess(name: str):
     return json.loads(out[-1][7:])
 
 
+def _nbody_two_phase(size: str, ckpt_dir: str):
+    """Warm to the plateau + checkpoint in one process, measure from the
+    reloaded (re-bucketed) state in a fresh one.  Falls back to the
+    single-process from-init measurement if the warm phase fails."""
+    ckpt = os.path.join(ckpt_dir, f"nbody_{size}.npz")
+    try:
+        prefix, alive, frame = _stage_in_subprocess(f"nbody_warm_{size}",
+                                                    ckpt)
+        print(f"n-body {size} warm: {frame} frames at fill prefix {prefix}, "
+              f"alive {alive}, checkpointed", file=sys.stderr)
+        return _stage_in_subprocess(f"nbody_{size}", ckpt)
+    except RuntimeError as e:
+        print(f"n-body {size} two-phase failed ({e}); falling back to "
+              f"from-init measurement", file=sys.stderr)
+        return _stage_in_subprocess(f"nbody_{size}")
+
+
 def main():
     backend = jax.default_backend()
     if backend != "tpu":
         print(f"WARNING: benchmarking on {backend}, not TPU", file=sys.stderr)
+
+    import tempfile
 
     rate_10m, p50_10m, alive_10m = _stage_in_subprocess("cap_10m")
     print(f"10M: {rate_10m:.3e} particle-steps/s  p50 {p50_10m:.3f} ms "
@@ -231,12 +283,13 @@ def main():
     rate_1m, p50_1m, alive_1m = _stage_in_subprocess("cap_1m")
     print(f"1M:  {rate_1m:.3e} particle-steps/s  p50 {p50_1m:.3f} ms "
           f"(alive {alive_1m})", file=sys.stderr)
-    nbody_ms, nbody_alive = _stage_in_subprocess("nbody_1m")
-    print(f"n-body 1M (reference sim): {nbody_ms:.0f} ms/frame "
-          f"(alive {nbody_alive})", file=sys.stderr)
-    nbody10_ms, nbody10_alive = _stage_in_subprocess("nbody_10m")
-    print(f"n-body 10M/32^3: {nbody10_ms:.0f} ms/frame "
-          f"(alive {nbody10_alive})", file=sys.stderr)
+    with tempfile.TemporaryDirectory() as td:
+        nbody_ms, nbody_alive = _nbody_two_phase("1m", td)
+        print(f"n-body 1M (reference sim): {nbody_ms:.0f} ms/frame "
+              f"(alive {nbody_alive})", file=sys.stderr)
+        nbody10_ms, nbody10_alive = _nbody_two_phase("10m", td)
+        print(f"n-body 10M/32^3: {nbody10_ms:.0f} ms/frame "
+              f"(alive {nbody10_alive})", file=sys.stderr)
 
     print(json.dumps({
         "metric": "particle_steps_per_sec_at_10M",
@@ -254,6 +307,6 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--stage":
-        run_stage(sys.argv[2])
+        run_stage(sys.argv[2], sys.argv[3:])
     else:
         main()

@@ -373,6 +373,13 @@ class NBodySimulation:
 
         cfg = self.cfg
         state, frame = self.state, jnp.int32(self.frame)
+        if self._active and self._active < state.slots:
+            # production stages run on the active slot prefix
+            # (models/nbody.step slices [:active] and concatenates the
+            # frozen tail back) — profile the same shapes.  The tail
+            # re-concat the production step pays is a contiguous copy of
+            # frozen rows, bandwidth-trivial next to any stage here.
+            state = jax.tree.map(lambda a: a[:self._active], state)
 
         def once(f, *args):
             """Single dispatch with the last-line recovery (first calls of

@@ -124,6 +124,12 @@ def test_nbody_profile_frame():
     assert sim.frame == frame_before
     rep = sim.timers.report()
     assert "frame/calc_forces" in rep and "frame/build_grid" in rep
+    # with an active prefix set, stages profile the production (sliced)
+    # shapes — models/nbody.step runs every stage on [0, active)
+    sim._active = 1024
+    out = sim.profile_frame(k1=1, k2=2)
+    assert set(out) == {"rng_fields", "cell_ids", "build_grid",
+                        "calc_forces", "unsort", "lifecycle", "full_frame"}
 
 
 def test_checkpoint_shape_mismatch(tmp_path):
