@@ -46,7 +46,8 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
 B, CH = 512, 1024
 G = 64          # grid steps per dispatch
-VARIANTS = ("fma", "mul", "cmp", "select", "and2", "rsqrt")
+VARIANTS = ("fma", "mul", "cmp", "select", "and2", "rsqrt",
+            "chain16", "chainmix16")
 
 
 def _kernel(variant: str, k: int, x_ref, o_ref):
@@ -71,6 +72,22 @@ def _kernel(variant: str, k: int, x_ref, o_ref):
             return jnp.where(m, x, t)
         if variant == "rsqrt":
             return jax.lax.rsqrt(t + x)
+        if variant == "chain16":
+            # 16 fmas fused in ONE expression: intermediates stay in
+            # vregs, so per-op cost = the register-resident rate (divide
+            # ns_per_layer by 16) — the regime the production chunk body
+            # runs in, vs the loop-carried VMEM round-trip above
+            a = t
+            for _ in range(16):
+                a = a * c + x
+            return a
+        if variant == "chainmix16":
+            # the production mix, fused: compares, selects, bool-ands
+            a = t
+            for _ in range(4):
+                m = (a > x) & (a < c)
+                a = jnp.where(m, a * c + x, a)
+            return a
         raise ValueError(variant)
 
     o_ref[:] = jax.lax.fori_loop(0, k, body, x * 0.5)
