@@ -155,7 +155,7 @@ def bench_nbody(n_fill: int = 1 << 20, grid_dim: int = 16,
     client (utils/dispatchbug.py), so the bench mirrors the production
     driver exactly.  With ``ckpt`` (the two-process flow, see
     ``bench_nbody_warm``) the prefix is re-picked from the loaded plateau
-    population (786k/2.10M rows at 1M, 5.5M/20.97M at 10M) exactly as
+    population (786k/2.10M rows at 1M, 4.98M/20.97M at 10M) exactly as
     ``api.load`` does for any user; without it the prefix is sized from
     the fill count (init_fill is already compacted)."""
     from particlesystem_tpu.api import NBodySimulation
@@ -166,7 +166,16 @@ def bench_nbody(n_fill: int = 1 << 20, grid_dim: int = 16,
     if ckpt:
         sim = NBodySimulation(cfg, impl="blocks")
         sim.load(ckpt)  # fresh process: load() re-picks the active prefix
-        state, frame0, active = sim.state, sim.frame, sim._active
+        if sim._frozen_active:
+            state, frame0, active = sim.state, sim.frame, sim._active
+        else:
+            # backend allows re-bucketing mid-process (CPU, or TPU with
+            # PSTPU_MULTI_PALLAS=1): load() defers the prefix pick to
+            # run(), which this bench bypasses — mirror it here so the
+            # plateau measurement never silently runs at full slot width
+            state = jax.jit(nbody.compact_state)(sim.state)
+            alive = int(np.asarray(state.alive).sum())
+            frame0, active = sim.frame, nbody.pick_active(cfg, alive)
     else:
         state = nbody.init_fill(cfg)
         frame0 = 0
@@ -177,39 +186,53 @@ def bench_nbody(n_fill: int = 1 << 20, grid_dim: int = 16,
           file=sys.stderr)
 
     def body(i, carry):
-        s, _ = carry
-        return nbody.step(s, i, cfg, 0, "blocks", active)
+        s, _, mc, mt = carry
+        s2, st = nbody.step(s, i, cfg, 0, "blocks", active)
+        # accumulate the bit-exactness guards across EVERY frame: spawn
+        # capping is transient (deaths free slots and later frames read
+        # 0 again), so sampling only the final frame's stats would let a
+        # mid-measurement contract violation pass silently
+        return (s2, st, jnp.maximum(mc, st.n_spawn_capped),
+                jnp.maximum(mt, st.n_tail_alive))
 
-    loop = jax.jit(lambda s, f0: jax.lax.fori_loop(
-        f0, f0 + k, body, nbody.step(s, f0 - 1, cfg, 0, "blocks", active)))
+    def _loop(s, f0, mc, mt):
+        s1, st1 = nbody.step(s, f0 - 1, cfg, 0, "blocks", active)
+        init = (s1, st1, jnp.maximum(mc, st1.n_spawn_capped),
+                jnp.maximum(mt, st1.n_tail_alive))
+        return jax.lax.fori_loop(f0, f0 + k, body, init)
 
-    def run_d(s, frame, d):
+    loop = jax.jit(_loop)
+
+    def run_d(s, frame, d, mc, mt):
         """d back-to-back dispatches of the (k+1)-frame loop, one sync."""
         for _ in range(d):
-            s, st = loop(s, jnp.int32(frame + 1))
+            s, st, mc, mt = loop(s, jnp.int32(frame + 1), mc, mt)
             frame += k + 1
         int(st.n_alive)  # sync
-        return s, st, frame
+        return s, st, frame, mc, mt
 
     # Warm: compile + settle.  The whole measurement stays INSIDE the
     # initial-cohort plateau (alive ~0.35*n_fill, frames < ~35 at 1M —
     # the window the reference's own 10-iteration run length lives in,
     # common.h:69; past it the population collapses in expiry waves and
     # per-frame cost is no longer comparable between rounds).
-    state, stats, frame = run_d(state, frame0, 1 if ckpt else 2)
+    mc = mt = jnp.int32(0)
+    state, stats, frame, mc, mt = run_d(state, frame0, 1 if ckpt else 2,
+                                        mc, mt)
     samples = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        state, stats, frame = run_d(state, frame, d_short)
+        state, stats, frame, mc, mt = run_d(state, frame, d_short, mc, mt)
         t_short = time.perf_counter() - t0
         t0 = time.perf_counter()
-        state, stats, frame = run_d(state, frame, d_long)
+        state, stats, frame, mc, mt = run_d(state, frame, d_long, mc, mt)
         t_long = time.perf_counter() - t0
         samples.append((t_long - t_short) / ((d_long - d_short) * (k + 1)))
-    # bit-exactness contract held throughout: no alive rows beyond the
-    # prefix, no spawns capped that full width would have granted
-    assert int(stats.n_tail_alive) == 0
-    assert int(stats.n_spawn_capped) == 0
+    # bit-exactness contract held on EVERY frame (accumulated maxima): no
+    # alive rows beyond the prefix, no spawns capped that full width
+    # would have granted
+    assert int(mt) == 0, f"tail rows went live mid-measurement ({int(mt)})"
+    assert int(mc) == 0, f"spawns capped mid-measurement ({int(mc)})"
     return float(np.median(samples)) * 1e3, int(stats.n_alive)
 
 
@@ -256,18 +279,29 @@ def _stage_in_subprocess(name: str, *args: str):
 def _nbody_two_phase(size: str, ckpt_dir: str):
     """Warm to the plateau + checkpoint in one process, measure from the
     reloaded (re-bucketed) state in a fresh one.  Falls back to the
-    single-process from-init measurement if the warm phase fails."""
+    single-process from-init measurement if either phase fails, and says
+    WHICH flow produced the number (third return value, published in the
+    bench JSON) — a from-init fallback runs at the fill-sized prefix and
+    is NOT comparable to the plateau headline."""
     ckpt = os.path.join(ckpt_dir, f"nbody_{size}.npz")
     try:
         prefix, alive, frame = _stage_in_subprocess(f"nbody_warm_{size}",
                                                     ckpt)
         print(f"n-body {size} warm: {frame} frames at fill prefix {prefix}, "
               f"alive {alive}, checkpointed", file=sys.stderr)
-        return _stage_in_subprocess(f"nbody_{size}", ckpt)
     except RuntimeError as e:
-        print(f"n-body {size} two-phase failed ({e}); falling back to "
+        print(f"n-body {size} warm phase failed ({e}); falling back to "
               f"from-init measurement", file=sys.stderr)
-        return _stage_in_subprocess(f"nbody_{size}")
+        return (*_stage_in_subprocess(f"nbody_{size}"), "from-init")
+    try:
+        return (*_stage_in_subprocess(f"nbody_{size}", ckpt), "plateau")
+    except RuntimeError as e:
+        print(f"n-body {size} PLATEAU MEASUREMENT FAILED ({e}) — the "
+              f"number below is from-init at the fill-sized prefix, NOT "
+              f"the plateau flow; investigate before comparing",
+              file=sys.stderr)
+        return (*_stage_in_subprocess(f"nbody_{size}"),
+                "from-init-after-measure-failure")
 
 
 def main():
@@ -284,12 +318,12 @@ def main():
     print(f"1M:  {rate_1m:.3e} particle-steps/s  p50 {p50_1m:.3f} ms "
           f"(alive {alive_1m})", file=sys.stderr)
     with tempfile.TemporaryDirectory() as td:
-        nbody_ms, nbody_alive = _nbody_two_phase("1m", td)
+        nbody_ms, nbody_alive, nbody_flow = _nbody_two_phase("1m", td)
         print(f"n-body 1M (reference sim): {nbody_ms:.0f} ms/frame "
-              f"(alive {nbody_alive})", file=sys.stderr)
-        nbody10_ms, nbody10_alive = _nbody_two_phase("10m", td)
+              f"(alive {nbody_alive}, {nbody_flow})", file=sys.stderr)
+        nbody10_ms, nbody10_alive, nbody10_flow = _nbody_two_phase("10m", td)
         print(f"n-body 10M/32^3: {nbody10_ms:.0f} ms/frame "
-              f"(alive {nbody10_alive})", file=sys.stderr)
+              f"(alive {nbody10_alive}, {nbody10_flow})", file=sys.stderr)
 
     print(json.dumps({
         "metric": "particle_steps_per_sec_at_10M",
@@ -300,7 +334,9 @@ def main():
         "particle_steps_per_sec_at_1M": round(rate_1m, 1),
         "p50_frame_ms_1M": round(p50_1m, 4),
         "nbody_1M_ms_per_frame": round(nbody_ms, 1),
+        "nbody_1M_flow": nbody_flow,
         "nbody_10M_ms_per_frame": round(nbody10_ms, 1),
+        "nbody_10M_flow": nbody10_flow,
         "backend": backend,
     }))
 

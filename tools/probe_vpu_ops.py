@@ -15,12 +15,19 @@ Op classes:
   and2    m = (x > acc) & (x < c); acc = where(m, x, acc)
   rsqrt   acc = rsqrt(acc + x)
 
-One variant per PROCESS (the platform dispatches at most one Pallas shape
-per process more than once, utils/dispatchbug.py); the parent loops over
-variants with subprocesses.
+One (variant, K) program per PROCESS (the platform dispatches at most one
+Pallas shape per process more than once, utils/dispatchbug.py); the parent
+runs two child processes per variant and computes the slope.
 
-Usage: python tools/probe_vpu_ops.py            # all variants
-       python tools/probe_vpu_ops.py --one fma  # child mode
+Per-layer op counts for converting ns/layer to ns/op (every layer also
+carries a ~1-op anti-fold broadcast add, and single-op variants carry the
+loop accumulator through VMEM each iteration, so cross-class ratios of the
+single-op variants are overhead-contaminated — the fused chain variants
+are the trustworthy rates): fma/mul 1, cmp 2, select 2, and2 4, rsqrt 1,
+chain16 16 fmas, chainmix16 4 x (2 cmp + and + fma + select) = 20 ops.
+
+Usage: python tools/probe_vpu_ops.py               # all variants
+       python tools/probe_vpu_ops.py --one fma 64  # child mode
 """
 
 import json
@@ -121,39 +128,50 @@ def _time(f, reps=6, d=8):
     return float(np.median(best))
 
 
-def child(variant: str):
+K1, K2 = 64, 192
+
+
+def child(variant: str, k: int):
+    """Time ONE (variant, k) program — one Pallas shape per process (the
+    platform rule, utils/dispatchbug.py; the parent computes the K-slope
+    from two child processes)."""
     x = jnp.asarray(np.random.default_rng(0).random((B, CH), np.float32))
-    k1, k2 = 64, 192
-    f1 = jax.jit(lambda x: _call(variant, k1, x))
-    f2 = jax.jit(lambda x: _call(variant, k2, x))
-    t1 = _time(lambda: f1(x))
-    t2 = _time(lambda: f2(x))
-    per_layer = (t2 - t1) / ((k2 - k1) * G)
-    ns = per_layer * 1e9
-    lanes = B * CH
-    # ops/s if this layer were "one op"
-    print("RESULT " + json.dumps({
-        "variant": variant, "ns_per_layer": round(ns, 2),
-        "tops_equiv": round(lanes / per_layer / 1e12, 3)}), flush=True)
+    f = jax.jit(lambda x: _call(variant, k, x))
+    t = _time(lambda: f(x))
+    print("RESULT " + json.dumps({"variant": variant, "k": k,
+                                  "t": t}), flush=True)
+
+
+def _run_child(variant: str, k: int) -> float:
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--one", variant,
+         str(k)],
+        capture_output=True, text=True)
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+    if not line:
+        raise RuntimeError(f"{variant} k={k} failed:\n{proc.stdout}\n"
+                           f"{proc.stderr[-2000:]}")
+    return json.loads(line[-1][7:])["t"]
 
 
 def main():
-    if len(sys.argv) > 2 and sys.argv[1] == "--one":
-        child(sys.argv[2])
+    if len(sys.argv) > 3 and sys.argv[1] == "--one":
+        child(sys.argv[2], int(sys.argv[3]))
         return
     out = {}
     for v in VARIANTS:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one", v],
-            capture_output=True, text=True)
-        line = [l for l in proc.stdout.splitlines()
-                if l.startswith("RESULT ")]
-        if not line:
-            print(f"{v}: FAILED\n{proc.stdout}\n{proc.stderr[-2000:]}")
+        try:
+            t1 = _run_child(v, K1)
+            t2 = _run_child(v, K2)
+        except RuntimeError as e:
+            print(e)
             continue
-        r = json.loads(line[-1][7:])
+        per_layer = (t2 - t1) / ((K2 - K1) * G)
+        lanes = B * CH
+        r = {"variant": v, "ns_per_layer": round(per_layer * 1e9, 2),
+             "tops_equiv": round(lanes / per_layer / 1e12, 3)}
         out[v] = r
-        print(f"{v:7s} {r['ns_per_layer']:8.2f} ns/layer "
+        print(f"{v:10s} {r['ns_per_layer']:8.2f} ns/layer "
               f"({r['tops_equiv']:6.3f} Tlanes/s)", flush=True)
     if "fma" in out:
         base = out["fma"]["ns_per_layer"]
