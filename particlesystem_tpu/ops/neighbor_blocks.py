@@ -82,6 +82,12 @@ B = 512        # block rows per grid step (swept at 1M steady state on v5e:
 CH = 1024      # neighbor chunk columns per DMA (ch512 is 37% slower)
 DEPTH = 2      # DMA pipeline slots (in-flight chunk fetches = DEPTH - 1)
 ACC_WIDE = False  # accumulate (B, CH) tiles, reduce once per block
+TS = None      # column-subtile width: compute ceil(hi/TS) subtiles per chunk
+               # instead of all CH columns (None = full tile).  A chunk's
+               # valid columns are [lo, hi) with lo < 128; the tail
+               # [hi, CH) is pure candidate-packing waste (~25% at the
+               # steady-state range width ~700).  Must divide CH and be a
+               # multiple of 128 (dynamic lane-dim slices need alignment).
 R_MAX = 24     # static neighbor-range slots per block
 C_MAX = 48     # static chunk slots per block
 _BIG = jnp.int32(1 << 30)
@@ -262,7 +268,7 @@ def prepare(pos0, age0, w0, cell, alive, cfg: NBodyConfig, dims=None,
 
 
 def _kernel(cfg: NBodyConfig, b: int, ch: int, acc_mxu: bool,
-            depth: int, acc_wide: bool,
+            depth: int, acc_wide: bool, ts,
             chunks_ref, mine_ref, snap_ref, out_ref, nbuf, acc_ref, imax_ref,
             sem):
     r2 = jnp.float32(cfg.collision_radius) ** 2
@@ -296,37 +302,30 @@ def _kernel(cfg: NBodyConfig, b: int, ch: int, acc_mxu: bool,
         def _(k=k):
             dma(k, k % depth).start()
 
-    def body(j, _):
-        slot = j % depth
+    # block origin for the MXU recentering (see the acc_mxu comment below)
+    x0 = mine[0, 0]
+    y0 = mine[1, 0]
+    z0 = mine[2, 0]
 
-        @pl.when(j + depth - 1 < nact)
-        def _():
-            dma(j + depth - 1, (j + depth - 1) % depth).start()
-
-        dma(j, slot).wait()
-        nb = nbuf[slot]                     # (16, CH)
-        lo = chunks_ref[0, j, 1]
-        hi = chunks_ref[0, j, 2]
-
-        # --- cheap (1, CH) row vectors ---------------------------------
+    def pair_tile(row, colr_t, lo, hi, width):
+        """The per-pair physics on a (B, width) tile.  ``row(r)`` loads
+        snapshot row ``r`` as (1, width); accumulates into acc/imax refs."""
         # age gating lives in the snapshot (out-of-band coords + pre-gated
         # cgid column, see prepare) — in_rng is the ONLY semantic row mask
         # left (range dedup: rows outside [lo, hi) may be covered by a
         # different range of the same block)
-        in_rng = (colr >= lo) & (colr < hi)
-        ngid = jax.lax.bitcast_convert_type(nb[8], jnp.int32).reshape(1, ch)
-        ncgid = jax.lax.bitcast_convert_type(nb[14],
-                                             jnp.int32).reshape(1, ch)
+        in_rng = (colr_t >= lo) & (colr_t < hi)
+        ngid = jax.lax.bitcast_convert_type(row(8), jnp.int32)
+        ncgid = jax.lax.bitcast_convert_type(row(14), jnp.int32)
 
-        # --- (B, CH) pair tiles ----------------------------------------
-        dx = nb[0].reshape(1, ch) - mx
-        dy = nb[1].reshape(1, ch) - my
-        dz = nb[2].reshape(1, ch) - mz
+        dx = row(0) - mx
+        dy = row(1) - my
+        dz = row(2) - mz
         d2 = dx * dx + dy * dy + dz * dz
 
-        e1 = nb[4].reshape(1, ch) - mi1
-        e2 = nb[5].reshape(1, ch) - mi2
-        e3 = nb[6].reshape(1, ch) - mi3
+        e1 = row(4) - mi1
+        e2 = row(5) - mi2
+        e3 = row(6) - mi3
         cd2 = e1 * e1 + e2 * e2 + e3 * e3
 
         # 27-stencil (dist^2 <= 3 on integer cell deltas) + self exclusion
@@ -336,7 +335,62 @@ def _kernel(cfg: NBodyConfig, b: int, ch: int, acc_mxu: bool,
         s = jnp.where(pg, rs * rs * rs, 0.0)
 
         gsel = jnp.where(pg & (d2 <= r2), ncgid, _IMIN)
+        imax_ref[0, :] = jnp.maximum(imax_ref[0, :],
+                                     jnp.max(gsel, axis=1))
+        if acc_mxu:
+            # A[k, i] = sum_j rhs[k, j] * s[i, j] with rhs rows
+            # (w, w*(x-x0), w*(y-y0), w*(z-z0)): positions are recentered
+            # on the block origin so the post-loop ax = A[1] - (mx-x0)*A[0]
+            # subtraction cancels small numbers, not box-sized ones
+            w_row = row(10)
+            rhs = jnp.concatenate([
+                w_row,
+                row(11) - x0 * w_row,
+                row(12) - y0 * w_row,
+                row(13) - z0 * w_row,
+            ], axis=0)                                    # (4, width)
+            a4 = jax.lax.dot_general(
+                rhs, s, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)       # (4, B)
+            acc_ref[0:4, :] = acc_ref[0:4, :] + a4
+        else:
+            sw = s * row(10)
+            acc_ref[0, :] = acc_ref[0, :] + jnp.sum(dx * sw, axis=1)
+            acc_ref[1, :] = acc_ref[1, :] + jnp.sum(dy * sw, axis=1)
+            acc_ref[2, :] = acc_ref[2, :] + jnp.sum(dz * sw, axis=1)
+
+    def body(j, _):
+        slot = j % depth
+
+        @pl.when(j + depth - 1 < nact)
+        def _():
+            dma(j + depth - 1, (j + depth - 1) % depth).start()
+
+        dma(j, slot).wait()
+        lo = chunks_ref[0, j, 1]
+        hi = chunks_ref[0, j, 2]
+
         if acc_wide:
+            nb = nbuf[slot]                 # (16, CH)
+            in_rng = (colr >= lo) & (colr < hi)
+            ngid = jax.lax.bitcast_convert_type(nb[8],
+                                                jnp.int32).reshape(1, ch)
+            ncgid = jax.lax.bitcast_convert_type(nb[14],
+                                                 jnp.int32).reshape(1, ch)
+            dx = nb[0].reshape(1, ch) - mx
+            dy = nb[1].reshape(1, ch) - my
+            dz = nb[2].reshape(1, ch) - mz
+            d2 = dx * dx + dy * dy + dz * dz
+            e1 = nb[4].reshape(1, ch) - mi1
+            e2 = nb[5].reshape(1, ch) - mi2
+            e3 = nb[6].reshape(1, ch) - mi3
+            cd2 = e1 * e1 + e2 * e2 + e3 * e3
+            pg = (cd2 <= 3.5) & (ngid != mgid) & in_rng
+            dd = d2 + eps2
+            rs = jax.lax.rsqrt(dd)
+            s = jnp.where(pg, rs * rs * rs, 0.0)
+            gsel = jnp.where(pg & (d2 <= r2), ncgid, _IMIN)
             # defer the expensive cross-lane reductions to once per block:
             # accumulate full (B, CH) tiles elementwise (sum/max are
             # associative across chunks) — a per-chunk axis=1 reduction is
@@ -347,34 +401,24 @@ def _kernel(cfg: NBodyConfig, b: int, ch: int, acc_mxu: bool,
             acc_ref[1] = acc_ref[1] + dy * sw
             acc_ref[2] = acc_ref[2] + dz * sw
             return 0
-        imax_ref[0, :] = jnp.maximum(imax_ref[0, :],
-                                     jnp.max(gsel, axis=1))
 
-        if acc_mxu:
-            # A[k, i] = sum_j rhs[k, j] * s[i, j] with rhs rows
-            # (w, w*(x-x0), w*(y-y0), w*(z-z0)): positions are recentered
-            # on the block origin so the post-loop ax = A[1] - (mx-x0)*A[0]
-            # subtraction cancels small numbers, not box-sized ones
-            x0 = mine[0, 0]
-            y0 = mine[1, 0]
-            z0 = mine[2, 0]
-            w_row = nb[10:11]
-            rhs = jnp.concatenate([
-                w_row,
-                nb[11:12] - x0 * w_row,
-                nb[12:13] - y0 * w_row,
-                nb[13:14] - z0 * w_row,
-            ], axis=0)                                    # (4, CH)
-            a4 = jax.lax.dot_general(
-                rhs, s, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)       # (4, B)
-            acc_ref[0:4, :] = acc_ref[0:4, :] + a4
-        else:
-            sw = s * nb[10].reshape(1, ch)
-            acc_ref[0, :] = acc_ref[0, :] + jnp.sum(dx * sw, axis=1)
-            acc_ref[1, :] = acc_ref[1, :] + jnp.sum(dy * sw, axis=1)
-            acc_ref[2, :] = acc_ref[2, :] + jnp.sum(dz * sw, axis=1)
+        if ts is None:
+            nb = nbuf[slot]                 # (16, CH)
+            pair_tile(lambda r: nb[r].reshape(1, ch), colr, lo, hi, ch)
+            return 0
+
+        # column-subtile loop: a chunk's valid columns are [lo, hi) with
+        # lo < 128 (prepare aligns astart down to 128), so computing
+        # ceil(hi/ts) subtiles covers them all and skips the padded tail
+        # [hi, CH) that full-tile masking would still burn VPU lanes on.
+        def sub_body(t, _):
+            c0 = t * ts
+            row = lambda r: nbuf[slot, r, pl.ds(c0, ts)].reshape(1, ts)
+            colr_t = jax.lax.broadcasted_iota(jnp.int32, (1, ts), 1) + c0
+            pair_tile(row, colr_t, lo, hi, ts)
+            return 0
+
+        jax.lax.fori_loop(0, (hi + ts - 1) // ts, sub_body, 0)
         return 0
 
     jax.lax.fori_loop(0, nact, body, 0)
@@ -402,7 +446,8 @@ def kernel_call(cfg: NBodyConfig, snap, chunks, n: int,
                 c_max: int | None = None, ch: int | None = None,
                 b: int | None = None, acc_mxu: bool = False,
                 depth: int | None = None,
-                acc_wide: bool | None = None) -> jax.Array:
+                acc_wide: bool | None = None,
+                ts: int | None = None) -> jax.Array:
     """Invoke the Pallas cluster-pair kernel on prepared inputs; returns the
     raw sorted-order (8, n) output (rows 0-2 acc, row 3 gmax bits).  Shared
     by :func:`neighbor_pass_blocks` and the phase profilers."""
@@ -411,6 +456,9 @@ def kernel_call(cfg: NBodyConfig, snap, chunks, n: int,
     b = B if b is None else b
     depth = DEPTH if depth is None else depth
     acc_wide = ACC_WIDE if acc_wide is None else acc_wide
+    ts = TS if ts is None else (None if ts <= 0 else ts)
+    if ts is not None:
+        assert ch % ts == 0 and ts % 128 == 0, (ch, ts)
     nb_blocks = n // b
     if acc_wide:
         acc_scratch = [pltpu.VMEM((3, b, ch), jnp.float32),
@@ -419,7 +467,7 @@ def kernel_call(cfg: NBodyConfig, snap, chunks, n: int,
         acc_scratch = [pltpu.VMEM((8, b), jnp.float32),
                        pltpu.VMEM((8, b), jnp.int32)]
     return pl.pallas_call(
-        functools.partial(_kernel, cfg, b, ch, acc_mxu, depth, acc_wide),
+        functools.partial(_kernel, cfg, b, ch, acc_mxu, depth, acc_wide, ts),
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
         grid=(nb_blocks,),
         in_specs=[
@@ -468,6 +516,7 @@ def neighbor_pass_blocks(pos0, age0, w0, cell, alive, cfg: NBodyConfig,
                          acc_mxu: bool = False,
                          depth: int | None = None,
                          acc_wide: bool | None = None,
+                         ts: int | None = None,
                          ) -> Tuple[jax.Array, jax.Array, jax.Array,
                                     jax.Array, jax.Array, jax.Array,
                                     jax.Array]:
@@ -488,7 +537,7 @@ def neighbor_pass_blocks(pos0, age0, w0, cell, alive, cfg: NBodyConfig,
         pos0, age0, w0, cell, alive, cfg, dims=dims, ids=ids, c_max=c_max,
         ch=ch, b=b)
     out = kernel_call(cfg, snap, chunks, n, c_max=c_max, ch=ch, b=b,
-                      acc_mxu=acc_mxu, depth=depth, acc_wide=acc_wide)
+                      acc_mxu=acc_mxu, depth=depth, acc_wide=acc_wide, ts=ts)
     # unsort by sorting on the forward permutation (all keys distinct): an
     # (N,8) row SCATTER costs ~170 ms at 2M rows on v5e, the carrying sort
     # ~10 ms.  The sorted-side overflow flag rides along as a free column.

@@ -32,7 +32,7 @@ CONFIGS = {
 }
 
 
-def compare(cfg, frames=2, **kernel_kw):
+def compare(cfg, frames=2, tol=1e-5, **kernel_kw):
     state = nbody.init_fill(cfg)
     for f in range(frames):
         state, _ = nbody.step(state, jnp.int32(f), cfg)
@@ -54,7 +54,7 @@ def compare(cfg, frames=2, **kernel_kw):
     np.testing.assert_array_equal(np.asarray(touch_b), np.asarray(touch_d))
     scale = max(1.0, float(np.abs(np.asarray(acc_d)).max()))
     err = np.abs(np.asarray(acc_b) - np.asarray(acc_d)).max() / scale
-    assert err < 1e-5, err
+    assert err < tol, err
 
 
 @pytest.mark.parametrize("name", sorted(CONFIGS))
@@ -67,6 +67,16 @@ def test_blocks_acc_wide_matches_dense():
     flags, float-tolerance accelerations — the cross-chunk reassociation
     must stay within the oracle tolerance."""
     compare(CONFIGS["mid-g8"], acc_wide=True)
+
+
+def test_blocks_subtile_matches_dense():
+    """Column-subtile variant (ts): per-chunk loop over ceil(hi/ts)
+    lane-dim subtiles instead of one full-CH tile.  Must be exact vs the
+    full-tile path — the [hi, CH) tail it skips contributes only masked
+    lanes.  ts=128 forces several subtiles per chunk at the default CH."""
+    compare(CONFIGS["mid-g8"], ts=128)
+    # acc_mxu trades ~2e-5 relative accumulation error for speed (NOTES.md)
+    compare(CONFIGS["mid-g8"], ts=128, acc_mxu=True, tol=5e-4)
 
 
 def test_blocks_multichunk_plane_crossings(monkeypatch):

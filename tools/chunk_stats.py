@@ -67,13 +67,23 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"b{b} ch{ch}: prepare failed: {type(e).__name__}")
             continue
-        nact = np.asarray(chunks)[:, 0, 3].astype(np.int64)
+        carr = np.asarray(chunks)
+        nact = carr[:, 0, 3].astype(np.int64)
         live = int((nact > 0).sum())
         total_chunks = int(nact.sum())
         cand = total_chunks * b * ch
+        # column-subtile model: per chunk the kernel computes ceil(hi/ts)
+        # subtiles of b*ts lanes instead of the full b*ch tile — the padded
+        # tail [hi, ch) is skipped (ops/neighbor_blocks.py ts knob)
+        his = np.concatenate([carr[i, : nact[i], 2] for i in range(len(nact))
+                              if nact[i] > 0]).astype(np.int64)
+        sub = ""
+        for ts in (256, 128):
+            cand_ts = int((np.ceil(his / ts) * ts).sum()) * b
+            sub += f"  ts{ts} eff {genuine / cand_ts:.1%}"
         print(f"b{b:5d} ch{ch:5d}: blocks {len(nact):5d} live {live:5d} "
               f"chunks {total_chunks:7d} ({total_chunks / max(live, 1):.1f}/blk) "
-              f"cand {cand:.3e}  eff {genuine / cand:.1%}", flush=True)
+              f"cand {cand:.3e}  eff {genuine / cand:.1%}{sub}", flush=True)
 
 
 if __name__ == "__main__":

@@ -75,14 +75,21 @@ def main():
     # prime fixed-cost suspect.  acc_wide defers them to once per block
     # (VMEM caps it at b*ch <= 256k tiles: (3, b, ch) f32 + (b, ch) i32
     # scratch; b512/ch1024 wide = 24 MB > the 16 MB scoped limit).
+    # round-3b: column-subtile loop (ts) — compute ceil(hi/ts) subtiles
+    # per chunk instead of all CH columns, skipping the padded tail
+    # [hi, CH) (~25% of candidates at steady state).  MEASURED DEAD
+    # 2026-08-19 (alive 377k): acc_mxu full 66.1 ms vs ts256 93.7 /
+    # ts128 139.7; vpu full 82.3 vs ts256 151.3; b256+ts 90.0-111.2.
+    # The dynamic-trip-count subtile loop pays the same per-iteration
+    # fixed cost that killed small tiles (NOTES.md packing table).
     variants = [
-        ("vpu      b512 ch1024",    dict(b=512)),             # r2 default
-        ("acc_mxu  b512 ch1024",    dict(acc_mxu=True, b=512)),
-        ("acc_wide b256 ch512",     dict(acc_wide=True, b=256, ch=512)),
-        ("acc_wide b256 ch1024",    dict(acc_wide=True, b=256, ch=1024)),
-        ("acc_wide b512 ch512",     dict(acc_wide=True, b=512, ch=512)),
-        ("acc_wide b128 ch512",     dict(acc_wide=True, b=128, ch=512)),
-        ("acc_wide b256 ch640",     dict(acc_wide=True, b=256, ch=640)),
+        ("acc_mxu  b512 ch1024",        dict(acc_mxu=True, b=512)),  # r3 default
+        ("acc_mxu  b512 ch1024 ts256",  dict(acc_mxu=True, b=512, ts=256)),
+        ("acc_mxu  b512 ch1024 ts128",  dict(acc_mxu=True, b=512, ts=128)),
+        ("acc_mxu  b256 ch1024 ts128",  dict(acc_mxu=True, b=256, ts=128)),
+        ("acc_mxu  b256 ch1024 ts256",  dict(acc_mxu=True, b=256, ts=256)),
+        ("vpu      b512 ch1024 ts256",  dict(b=512, ts=256)),
+        ("vpu      b512 ch1024",        dict(b=512)),
     ]
     results = {}
     ref = None
