@@ -93,6 +93,18 @@ def test_autosize_buffers_shrinks_and_stays_exact():
     assert sim.n_degraded_frames == 0
 
 
+def test_autosize_refused_on_single_pallas_platform(monkeypatch):
+    """On a platform that cannot re-dispatch a second Pallas program shape
+    (utils/dispatchbug.py), resizing a blocks-impl step would wedge the
+    client — autosize must refuse loudly and point at the manual flow."""
+    sim = DistributedNBodySimulation(CFG, SlabSpec(n_devices=8,
+                                                   impl="blocks"))
+    import particlesystem_tpu.utils.dispatchbug as db
+    monkeypatch.setattr(db, "multi_pallas_shapes_safe", lambda: False)
+    with pytest.raises(RuntimeError, match="second Pallas program shape"):
+        sim.autosize_buffers(frames=1)
+
+
 def test_undersized_buffers_report_drops():
     spec = SlabSpec(n_devices=8, halo_capacity=2, migration_capacity=1)
     sim = DistributedNBodySimulation(CFG, spec)
