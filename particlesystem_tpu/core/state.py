@@ -45,9 +45,12 @@ class ParticleState:
       — ``particleSystemCUDA.cu:45`` — so its randomness changes whenever a
       particle migrates segments; this fixes that.)
 
-    The slot index doubles as the particle id used in collision ordering
-    (``app_common.cu:293-298``).  ``id``, ``cell``, ``chunk``, ``seg_*`` fields
-    of the reference are derived quantities here, never stored.
+    Collision kill/survive ordering (``app_common.cu:293-298``: larger id
+    survives) keys on ``tag`` via ``ops.neighbor.collision_okey`` — a
+    placement-independent total order, identical on 1 and N devices; slot
+    indices serve only pair self-exclusion.  ``id``, ``cell``, ``chunk``,
+    ``seg_*`` fields of the reference are derived quantities here, never
+    stored.
     """
 
     pos: jax.Array

@@ -20,6 +20,14 @@ from ..core.config import NBodyConfig
 from .oracle_emitter import NpState
 
 
+def okey_np(tags: np.ndarray) -> np.ndarray:
+    """Numpy mirror of ``ops.neighbor.collision_okey``: int32 bitcast of the
+    persistent tag, clamped one above INT32_MIN (the no-collision
+    sentinel).  Placement-independent collision-order key."""
+    t = tags.astype(np.uint32).view(np.int32)
+    return np.maximum(t, np.int32(np.iinfo(np.int32).min + 1))
+
+
 def wrap_positions_np(pos: np.ndarray, grid):
     g = grid.grid_dim
     half = g // 2
@@ -66,6 +74,7 @@ def step(s: NpState, uvec: np.ndarray, fert: np.ndarray, frame: int,
 
     # snapshot (TDATA) = pre-step state
     pos0, age0, w0 = s.pos, s.age, s.w
+    okey = okey_np(s.tag)  # tag-keyed collision order (see models/nbody.py)
 
     # --- neighbor pass ----------------------------------------------------
     acc = np.zeros((n, 3), f32)
@@ -91,7 +100,7 @@ def step(s: NpState, uvec: np.ndarray, fert: np.ndarray, frame: int,
         collide = (adult & (d2s <= r2) & (age0[i] <= lifec)
                    & (age0[nj] <= lifec))
         touch[i] = bool(collide.any())
-        kill[i] = bool((collide & (nj > i)).any())
+        kill[i] = bool((collide & (okey[nj] > okey[i])).any())
         dd = (d2s + eps2).astype(f32)
         sfac = np.where(adult, w0[nj] / np.sqrt((dd * dd * dd).astype(f32)),
                         f32(0.0)).astype(f32)

@@ -16,9 +16,14 @@ path depends on warp-lock timing and its host RNG is nondeterministic):
 
 * Collision resolution (``bodyBodyCollision``, ``app_common.cu:269-301``)
   becomes a reduction: a particle is KILLED if any colliding neighbor has a
-  larger slot id, SURVIVES (age/velocity reset) if it collides only with
-  smaller ids.  This is exactly the fixed point of the reference's scan
-  (flag 2 dominates and breaks the loop), now order-free.
+  larger order key, SURVIVES (age/velocity reset) if it collides only with
+  smaller-or-equal keys.  This is exactly the fixed point of the
+  reference's scan (flag 2 dominates and breaks the loop), now order-free.
+  The key is ``collision_okey`` of the persistent particle TAG
+  (``ops/neighbor.py``) — any total order satisfies the reference's
+  larger-id-survives rule, and the tag order is placement-independent, so
+  kill/survive decisions are identical across device counts and slot
+  compactions.
 * Free-slot allocation: ascending dead slots meet ascending requests
   (``ops/compact.py``) instead of per-segment FIFO queues; like the
   reference, ids freed this frame are immediately reusable and spawn
@@ -41,7 +46,7 @@ from ..core.config import NBodyConfig
 from ..core.state import ParticleState, zero_state
 from ..ops.grid import (build_bins, chunk_occupancy, coords_to_cell,
                         wrap_positions)
-from ..ops.neighbor import neighbor_pass
+from ..ops.neighbor import collision_okey, neighbor_pass
 
 
 @jax.tree_util.register_dataclass
@@ -100,11 +105,13 @@ def init_fill(cfg: NBodyConfig, n: int | None = None) -> ParticleState:
 def _neighbor_pass(state: ParticleState, cell_list: jax.Array,
                    cfg: NBodyConfig, batch_cells: int = 64):
     """Collision flags + gravity over the 27-cell stencil (single device:
-    row ids are slot indices).  See ``ops/neighbor.py`` for the core."""
+    self-exclusion ids are slot indices; collision ordering keys on the
+    persistent tags).  See ``ops/neighbor.py`` for the core."""
     g = cfg.grid.grid_dim
     ids = jnp.arange(state.slots, dtype=jnp.int32)
     return neighbor_pass(state.pos, state.age, state.w, ids, cell_list,
-                         (g, g, g), cfg, batch_cells=batch_cells)
+                         (g, g, g), cfg, batch_cells=batch_cells,
+                         okeys=collision_okey(state.tag))
 
 
 def lifecycle_update(state: ParticleState, pos_w: jax.Array,
@@ -289,7 +296,8 @@ def step_fields(state: ParticleState, uvec: jax.Array, fert: jax.Array,
         from ..ops.neighbor_blocks import neighbor_pass_blocks
         acc, kill, touch, overflow, max_occ, cell_counts, chunks_dropped = \
             neighbor_pass_blocks(state.pos, state.age, state.w, cell,
-                                 state.alive, cfg, acc_mxu=cfg.fast_accum)
+                                 state.alive, cfg, tags=state.tag,
+                                 acc_mxu=cfg.fast_accum)
         listed_dropped = chunks_dropped.astype(jnp.int32)
     else:
         bins = build_bins(cell, state.alive, grid.num_cells,
@@ -359,10 +367,11 @@ def compact_state(state: ParticleState) -> ParticleState:
     within each class) — ONE carrying sort by ``slot + dead*N`` moving all
     state columns (~25 ms at 2M on v5e; a row scatter would cost 170+).
 
-    This re-numbers slots deterministically, so collision-ordering ids
-    (slot indices) change; run it only between frames and mirror it on any
-    oracle state being compared (numpy mirror: stable argsort of the same
-    key).  Combined with ``step(..., active=...)`` it makes every O(slots)
+    Slot re-numbering no longer perturbs physics: collision ordering keys
+    on the persistent tags (which ride the sort), and slot ids only serve
+    pair self-exclusion.  Mirror the compaction on any oracle state being
+    ROW-compared (numpy mirror: stable argsort of the same key).  Combined
+    with ``step(..., active=...)`` it makes every O(slots)
     stage of the frame scale with LIVE particles: after compaction, alive
     rows occupy ``[0, n_alive)``, and ascending free-slot allocation keeps
     new spawns inside any prefix with dead headroom, so the whole step can

@@ -17,7 +17,18 @@ Physics per pair (reference semantics):
 * gravity ``a_i += w_j * r_ij / (|r|^2 + EPS2)^(3/2)`` for adult pairs
   (``bodyBodyInteraction``, ``app_common.cu:236-267``);
 * collide when ``|r| <= COLLISION_RADIUS``, both adult, both within life;
-  KILL i if some colliding j has larger id, else SURVIVE i.
+  KILL i if some colliding j has a larger *order key*, else SURVIVE i.
+
+The order key is :func:`collision_okey` of the persistent particle tag —
+NOT the slot id.  The reference's rule is "larger id survives"
+(``app_common.cu:293-298``); any total order satisfies it, and keying on
+tags picks the one that is identical on 1 and N devices (slot ids are
+re-assigned when a particle migrates or a child lands in a per-device free
+slot, which would flip tie-breaks between device counts).  ``ids`` remain
+the pair SELF-EXCLUSION identity: they must be unique across all rows a
+pass sees (tags are hash-derived for children and can collide; a tag
+collision merely makes the two order-equal — neither kills the other —
+which every implementation resolves identically).
 
 The stencil does NOT wrap at the global box boundary even though positions
 torus-wrap — the reference's ``fill_cells`` distance filter clips instead
@@ -33,14 +44,32 @@ import jax.numpy as jnp
 
 from ..core.config import NBodyConfig
 
+_IMIN = jnp.iinfo(jnp.int32).min
+
+
+def collision_okey(tags: jax.Array) -> jax.Array:
+    """Placement-independent collision-order key (int32) from persistent
+    uint32 tags: the raw int32 bitcast, clamped one above INT32_MIN so the
+    kernels' no-collision sentinel stays strictly below every real key.
+    The clamp maps the single tag value 0x80000000 onto INT32_MIN+1 — two
+    particles whose keys coincide (that clamp, or a child-tag hash
+    collision) are order-EQUAL: neither kills the other, identically in
+    every implementation.  Mirrored by ``cpu_ref.oracle_nbody.okey_np``."""
+    t = jax.lax.bitcast_convert_type(tags.astype(jnp.uint32), jnp.int32)
+    return jnp.maximum(t, _IMIN + 1)
+
 
 def neighbor_pass(pos0: jax.Array, age0: jax.Array, w0: jax.Array,
                   ids: jax.Array, cell_list: jax.Array,
                   dims: Tuple[int, int, int], cfg: NBodyConfig,
-                  batch_cells: int = 64):
+                  batch_cells: int = 64, okeys: jax.Array = None):
     """Returns per-row (acc (R,3), kill (R,), touch (R,)) where R = number of
     snapshot rows.  Rows absent from ``cell_list`` get zeros/False.
+    ``okeys`` (int32, from :func:`collision_okey`) decides kill/survive
+    ordering; defaults to ``ids`` (legacy slot order) for perf probes.
     """
+    if okeys is None:
+        okeys = ids.astype(jnp.int32)
     d1, d2, d3 = dims
     num_cells = d1 * d2 * d3
     assert cell_list.shape[0] == num_cells, (cell_list.shape, dims)
@@ -55,6 +84,7 @@ def neighbor_pass(pos0: jax.Array, age0: jax.Array, w0: jax.Array,
         me_valid = me >= 0
         mi = jnp.maximum(me, 0)
         mpos, mage, mids = pos0[mi], age0[mi], ids[mi]
+        mkeys = okeys[mi]
         madult = mage >= kid
         myoung = mage <= life
 
@@ -77,6 +107,7 @@ def neighbor_pass(pos0: jax.Array, age0: jax.Array, w0: jax.Array,
                     nb_ok = nb >= 0
                     ni = jnp.maximum(nb, 0)
                     npos, nage, nw, nids = pos0[ni], age0[ni], w0[ni], ids[ni]
+                    nkeys = okeys[ni]
 
                     diff = npos[None, :, :] - mpos[:, None, :]   # (K, K, 3)
                     dsq = jnp.sum(diff * diff, axis=-1)          # (K, K)
@@ -87,7 +118,7 @@ def neighbor_pass(pos0: jax.Array, age0: jax.Array, w0: jax.Array,
                     collide = (pair & adult & (dsq <= r2)
                                & myoung[:, None] & (nage <= life)[None, :])
                     kill |= jnp.any(
-                        collide & (nids[None, :] > mids[:, None]), axis=1)
+                        collide & (nkeys[None, :] > mkeys[:, None]), axis=1)
                     touch |= jnp.any(collide, axis=1)
 
                     dd = dsq + eps2

@@ -22,10 +22,12 @@ system):
   (``bodyBodyInteraction``, ``app_common.cu:236-267``).
 
 Snapshot layout: one (16, N_pad) f32 array — rows x, y, z, pad, i1, i2,
-i3, pad, gid (int32 BITCAST to f32: exact at any slot count), age, w,
-w*x, w*y, w*z, cgid (collision-window-gated gid, INT32_MIN bits outside
-[kid_age, particle_life]), pad — so a chunk is ONE strided DMA and every
-per-pair quantity lives in lane-major (B, CH) tiles.
+i3, pad, gid (int32 BITCAST to f32: exact at any slot count; pair
+self-exclusion identity), age, w, w*x, w*y, w*z, cgid (the
+collision-ORDER key: ``collision_okey`` of the persistent particle tag,
+placement-independent — INT32_MIN bits past ``particle_life``; the
+kid/dead gates ride the out-of-band coordinates), pad — so a chunk is ONE
+strided DMA and every per-pair quantity lives in lane-major (B, CH) tiles.
 
 **All gating is folded into the snapshot so the kernel's only per-pair
 tests are the cell-delta stencil, the id inequality and the contact
@@ -52,9 +54,12 @@ radius** (measured: every extra (B, CH) mask op costs full VPU lanes):
   gmax reduction; the MINE-side window is applied after the unsort
   (one elementwise (N,) op fused into the epilogue).
 
-Collision results leave the kernel as ONE reduction: gmax = max int32 gid
-over colliding neighbors (INT32_MIN if none) — ``kill = gmax > my_gid``
-and ``touch = gmax > INT32_MIN`` are derived per slot after the unsort.
+Collision results leave the kernel as ONE reduction: gmax = max int32
+order key over colliding neighbors (INT32_MIN if none) — ``kill = gmax >
+my_okey`` and ``touch = gmax > INT32_MIN`` are derived per slot after the
+unsort.  The order key is the TAG-derived ``collision_okey`` (see
+``ops/neighbor.py``): identical on 1 and N devices, so multi-device
+kill/survive tie-breaks match the single-device run exactly.
 
 Capacity escapes are reported, never silent: blocks whose stencil needs
 more than C_MAX chunks drop the excess.  :func:`neighbor_pass_blocks`
@@ -75,6 +80,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.config import NBodyConfig
+from .neighbor import collision_okey
 
 B = 512        # block rows per grid step (swept at 1M steady state on v5e:
                # b256 108.6 ms, b512 88.0 ms full pass; bigger blocks
@@ -104,16 +110,22 @@ def _interpret() -> bool:
 
 
 def prepare(pos0, age0, w0, cell, alive, cfg: NBodyConfig, dims=None,
-            ids=None, c_max: int | None = None, ch: int | None = None,
-            b: int | None = None):
+            ids=None, tags=None, c_max: int | None = None,
+            ch: int | None = None, b: int | None = None):
     """Sort by cell and build the kernel inputs.
 
     ``dims = (d1, d2, d3)`` generalizes to non-cubic grids (cell id =
     i3*(d1*d2) + i1*d2 + i2), e.g. a device slab extended by halo planes;
     ``ids`` supplies global particle ids (int32) when slots are
-    device-local.  ``c_max`` overrides the static per-block chunk budget
-    (tests use tiny values to exercise the drop-report path); ``ch``/``b``
-    override the chunk-column / block-row tile sizes.
+    device-local (used ONLY for pair self-exclusion — they must be unique
+    across every row the kernel sees, halos included).  ``tags`` supplies
+    the persistent per-particle identities whose :func:`collision_okey`
+    decides kill/survive ordering — placement- and device-count-
+    independent (``None`` falls back to ordering on ``ids``, the legacy
+    slot order, for perf probes).  ``c_max`` overrides the static
+    per-block chunk budget (tests use tiny values to exercise the
+    drop-report path); ``ch``/``b`` override the chunk-column / block-row
+    tile sizes.
 
     Returns (snap (16, N+ch), chunks (NB, c_max, 4) int32 — columns
     (aligned_start, lo, hi, n_active) — order, overflow_s (SORTED-side
@@ -136,13 +148,24 @@ def prepare(pos0, age0, w0, cell, alive, cfg: NBodyConfig, dims=None,
     key = jnp.where(alive, cell, num_cells).astype(jnp.int32)
     gid_i = iot if ids is None else ids.astype(jnp.int32)
     gid_bits = jax.lax.bitcast_convert_type(gid_i, f)  # exact at ANY count
+    # collision-order key: persistent tags (placement-independent total
+    # order — identical on 1 and N devices) when given, slot order for
+    # legacy perf probes.  Gated HERE by the neighbor-side collision age
+    # window's upper edge (age <= life); the kid/dead/overflow gates ride
+    # the out-of-band coordinates below, so the kernel's stencil test
+    # rejects those rows with zero extra ops either way.
+    okey_i = (collision_okey(tags) if tags is not None
+              else jnp.maximum(gid_i, _IMIN + 1))
+    cg_pre = jnp.where(age0 <= jnp.float32(cfg.particle_life), okey_i, _IMIN)
+    cg_bits = jax.lax.bitcast_convert_type(cg_pre, f)
 
     # ONE carrying sort builds the whole sorted snapshot: a row scatter or
     # gather costs 45-190 ms at 2M rows on v5e, while lax.sort moving the
     # payload through the sort network is ~2 ms/column.  Cell coords are
     # re-derived from the sorted key instead of being carried.
-    skey, sx, sy, sz, sgid, sage, sw, order = jax.lax.sort(
-        (key, pos0[:, 0], pos0[:, 1], pos0[:, 2], gid_bits, age0, w0, iot),
+    skey, sx, sy, sz, sgid, sage, sw, scg, order = jax.lax.sort(
+        (key, pos0[:, 0], pos0[:, 1], pos0[:, 2], gid_bits, age0, w0,
+         cg_bits, iot),
         num_keys=1, is_stable=True)
 
     # starts via vectorized binary search (bincount+cumsum costs ~14 ms)
@@ -169,7 +192,6 @@ def prepare(pos0, age0, w0, cell, alive, cfg: NBodyConfig, dims=None,
     # distinct out-of-band rows could collide and pass the stencil; with
     # coprime moduli a collision needs p == q (mod 2^19 * (2^19-1) ~ 2^38).
     kid = jnp.float32(cfg.kid_age)
-    lifec = jnp.float32(cfg.particle_life)
     coord_ok = valid_s & (sage >= kid)
     base = jnp.where(valid_s, -10.0, -4194304.0)
     bad_a = base - (2 * (iot % (1 << 19))).astype(f)
@@ -179,12 +201,10 @@ def prepare(pos0, age0, w0, cell, alive, cfg: NBodyConfig, dims=None,
     i1s = jnp.where(coord_ok, (remq // row_stride).astype(f), bad_a)
     i2s = jnp.where(coord_ok, (remq % row_stride).astype(f), bad_b)
     i3s = jnp.where(coord_ok, i3q.astype(f), bad_a)
-    imin_bits = jax.lax.bitcast_convert_type(jnp.int32(_IMIN), f)
-    cgid = jnp.where(coord_ok & (sage <= lifec), sgid, imin_bits)
     zero = jnp.zeros((n,), f)
     snap = jnp.stack([
         sx, sy, sz, zero, i1s, i2s, i3s, zero,
-        sgid, sage, sw, sw * sx, sw * sy, sw * sz, cgid, zero,
+        sgid, sage, sw, sw * sx, sw * sy, sw * sz, scg, zero,
     ], axis=0)                               # (16, N), no transpose needed
     snap = jnp.pad(snap, ((0, 0), (0, ch)))  # chunk reads never go OOB
 
@@ -491,10 +511,12 @@ def kernel_call(cfg: NBodyConfig, snap, chunks, n: int,
     )(chunks, snap[:, :n], snap)
 
 
-def unsort_outputs(out, order, overflow_s, ids=None):
+def unsort_outputs(out, order, overflow_s, ids=None, okeys=None):
     """Apply the inverse permutation to the kernel output by sorting on the
     forward permutation (see :func:`neighbor_pass_blocks`); returns
-    (acc (N,3), kill, touch, overflow)."""
+    (acc (N,3), kill, touch, overflow).  ``okeys`` is the MINE-side
+    collision-order key (must match the ``tags`` handed to
+    :func:`prepare`); defaults to ``ids``/slot order."""
     n = order.shape[0]
     _, ax, ay, az, gbits, ovf_f = jax.lax.sort(
         (order, out[0], out[1], out[2], out[3],
@@ -503,15 +525,17 @@ def unsort_outputs(out, order, overflow_s, ids=None):
     acc = jnp.stack([ax, ay, az], axis=1)
     overflow = ovf_f > 0
     gmax = jax.lax.bitcast_convert_type(gbits, jnp.int32)
-    gid_i = (jnp.arange(n, dtype=jnp.int32) if ids is None
-             else ids.astype(jnp.int32))
-    kill = gmax > gid_i
+    if okeys is None:
+        okeys = (jnp.arange(n, dtype=jnp.int32) if ids is None
+                 else ids.astype(jnp.int32))
+    kill = gmax > okeys
     touch = gmax > _IMIN
     return acc, kill, touch, overflow
 
 
 def neighbor_pass_blocks(pos0, age0, w0, cell, alive, cfg: NBodyConfig,
-                         dims=None, ids=None, c_max: int | None = None,
+                         dims=None, ids=None, tags=None,
+                         c_max: int | None = None,
                          ch: int | None = None, b: int | None = None,
                          acc_mxu: bool = False,
                          depth: int | None = None,
@@ -523,7 +547,7 @@ def neighbor_pass_blocks(pos0, age0, w0, cell, alive, cfg: NBodyConfig,
     """Full pass: returns per-slot (acc (N,3), kill, touch, overflow,
     max_cell_occupancy, per-cell counts, n_chunks_dropped) — same semantics
     as ``ops/neighbor.neighbor_pass`` plus the grid-build byproducts (no cell
-    lists are materialized).  ``dims``/``ids``/``c_max`` as in
+    lists are materialized).  ``dims``/``ids``/``tags``/``c_max`` as in
     :func:`prepare`; ``ch``/``b``/``acc_mxu`` select the tile sizes and the
     MXU accumulation offload (defaults are the swept-best on v5e).
     A nonzero ``n_chunks_dropped`` means some blocks' stencils exceeded the
@@ -534,15 +558,16 @@ def neighbor_pass_blocks(pos0, age0, w0, cell, alive, cfg: NBodyConfig,
     b = B if b is None else b
     n = cell.shape[0]
     snap, chunks, order, overflow_s, max_occ, counts, n_dropped = prepare(
-        pos0, age0, w0, cell, alive, cfg, dims=dims, ids=ids, c_max=c_max,
-        ch=ch, b=b)
+        pos0, age0, w0, cell, alive, cfg, dims=dims, ids=ids, tags=tags,
+        c_max=c_max, ch=ch, b=b)
     out = kernel_call(cfg, snap, chunks, n, c_max=c_max, ch=ch, b=b,
                       acc_mxu=acc_mxu, depth=depth, acc_wide=acc_wide, ts=ts)
     # unsort by sorting on the forward permutation (all keys distinct): an
     # (N,8) row SCATTER costs ~170 ms at 2M rows on v5e, the carrying sort
     # ~10 ms.  The sorted-side overflow flag rides along as a free column.
+    okeys = collision_okey(tags) if tags is not None else None
     acc, kill, touch, overflow = unsort_outputs(out, order, overflow_s,
-                                                ids=ids)
+                                                ids=ids, okeys=okeys)
     # MINE-side collision age window (the neighbor side rides the pre-gated
     # cgid column; see prepare) — one elementwise op fused into the epilogue
     win = (age0 >= jnp.float32(cfg.kid_age)) \

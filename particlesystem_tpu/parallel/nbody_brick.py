@@ -47,7 +47,7 @@ from ..models.nbody import frame_fields, lifecycle_update
 from ..ops import compact
 from ..ops.grid import build_bins, cell_coords, wrap_positions
 from ..utils.dispatchbug import recovering_call
-from ..ops.neighbor import neighbor_pass
+from ..ops.neighbor import collision_okey, neighbor_pass
 from .nbody_sharded import _pack_rows
 
 
@@ -128,7 +128,7 @@ def make_brick_step(cfg: NBodyConfig, spec: BrickSpec, mesh: Mesh):
         phases = ((2, ax3, spec.d3, base3, p3),
                   (0, ax1, spec.d1, base1, p1),
                   (1, ax2, spec.d2, base2, p2))
-        ext = (pos_w, state.age, state.w, gids, state.alive)
+        ext = (pos_w, state.age, state.w, gids, state.tag, state.alive)
         halo_drop = jnp.int32(0)
         halo_used = jnp.int32(0)
         for ci, axn, d_count, base, p in phases:
@@ -136,10 +136,10 @@ def make_brick_step(cfg: NBodyConfig, spec: BrickSpec, mesh: Mesh):
                 continue
             coords_e = cell_coords(ext[0], g)
             ce = coords_e[:, ci]
-            lo_mask = ext[4] & (ce == base)
-            hi_mask = ext[4] & (ce == base + p - 1)
-            lo_pack = _pack_rows(lo_mask, h, *ext[:4])
-            hi_pack = _pack_rows(hi_mask, h, *ext[:4])
+            lo_mask = ext[5] & (ce == base)
+            hi_mask = ext[5] & (ce == base + p - 1)
+            lo_pack = _pack_rows(lo_mask, h, *ext[:5])
+            hi_pack = _pack_rows(hi_mask, h, *ext[:5])
             # non-cyclic: the 27-stencil never wraps the global box
             # (reference fill_cells clipping, app.cu:352-409)
             fwd = [(i, i + 1) for i in range(d_count - 1)]
@@ -154,7 +154,7 @@ def make_brick_step(cfg: NBodyConfig, spec: BrickSpec, mesh: Mesh):
             ext = tuple(jnp.concatenate([e, lo_h, hi_h])
                         for e, lo_h, hi_h in zip(ext, from_lo, from_hi))
 
-        pos0, age0, w0, ids0, valid0 = ext
+        pos0, age0, w0, ids0, tags0, valid0 = ext
 
         # ---- extended-brick binning --------------------------------------
         # uniform p+2 extents per axis (degenerate axes just carry two empty
@@ -178,21 +178,22 @@ def make_brick_step(cfg: NBodyConfig, spec: BrickSpec, mesh: Mesh):
                     [arr, jnp.full((pad,) + arr.shape[1:], v, arr.dtype)])
                 pos0p, age0p, w0p = (padf(pos0, 0.0), padf(age0, 0.0),
                                      padf(w0, 0.0))
-                ids0p, cellp, validp = (padf(ids0, -1), padf(ext_cell, 0),
-                                        padf(valid0, False))
+                ids0p, tags0p = padf(ids0, -1), padf(tags0, 0)
+                cellp, validp = padf(ext_cell, 0), padf(valid0, False)
             else:
                 pos0p, age0p, w0p = pos0, age0, w0
-                ids0p, cellp, validp = ids0, ext_cell, valid0
+                ids0p, tags0p, cellp, validp = ids0, tags0, ext_cell, valid0
             acc, kill, touch, ovf, max_cell, _, chunks_dropped = \
                 neighbor_pass_blocks(pos0p, age0p, w0p, cellp, validp, cfg,
-                                     dims=ext_dims, ids=ids0p,
+                                     dims=ext_dims, ids=ids0p, tags=tags0p,
                                      acc_mxu=cfg.fast_accum)
             overflow_local = ovf[:c_local]
             listed_dropped = chunks_dropped.astype(jnp.int32)
         else:
             bins = build_bins(ext_cell, valid0, num_ext, cfg.cell_capacity)
             acc, kill, touch = neighbor_pass(pos0, age0, w0, ids0,
-                                             bins.cell_list, ext_dims, cfg)
+                                             bins.cell_list, ext_dims, cfg,
+                                             okeys=collision_okey(tags0))
             overflow_local = bins.overflow[:c_local]
             max_cell = bins.max_cell_occupancy
             listed_dropped = bins.n_listed_dropped
@@ -288,6 +289,8 @@ def make_brick_step(cfg: NBodyConfig, spec: BrickSpec, mesh: Mesh):
     def step_fn(state: ParticleState, frame: jax.Array):
         # jax 0.9 dispatch-cache recovery — see utils/dispatchbug.py
         return recovering_call(step_jit, state, frame)
+
+    step_fn.jittable = step_jit  # traceable step for batched driver loops
 
     def shard_state(state: ParticleState) -> ParticleState:
         sh = NamedSharding(mesh, pspec)

@@ -29,10 +29,10 @@ axis exchange instead of 26-neighbor bookkeeping:
   CELL_SIZE`` bounds motion to one cell per frame, so one hop per axis
   always suffices.
 
-Same documented divergence as the slab path: free slots (and therefore
-slot-derived global ids) are per-device, so collision tie-breaks among
-particles born after frame 0 may differ from the single-device trajectory —
-see ``nbody_sharded`` module docstring.  Buffer overflow drops are counted,
+Collision ordering keys on persistent tags (``collision_okey``), so
+per-device slot allocation does not perturb physics; only float
+accumulation-order noise bounds exact cross-device-count comparison — see
+the ``nbody_sharded`` module docstring.  Buffer overflow drops are counted,
 never silent, and per-frame high-water marks (``halo_used_max``,
 ``migration_used_max``) are reported so capacities can be sized from
 measured occupancy instead of the worst case.
@@ -54,7 +54,7 @@ from ..models.nbody import frame_fields, lifecycle_update
 from ..ops import compact
 from ..ops.grid import build_bins, cell_coords, wrap_positions
 from ..utils.dispatchbug import recovering_call
-from ..ops.neighbor import neighbor_pass
+from ..ops.neighbor import collision_okey, neighbor_pass
 from .nbody_sharded import _pack_rows
 
 
@@ -141,8 +141,10 @@ def make_pencil_step(cfg: NBodyConfig, spec: PencilSpec, mesh: Mesh):
         # ---- halo phase 1: i3 faces along the "x" axis (non-cyclic) ------
         lmask = state.alive & (i3 == base3)
         rmask = state.alive & (i3 == base3 + p3 - 1)
-        lpack = _pack_rows(lmask, h3, pos_w, state.age, state.w, gids)
-        rpack = _pack_rows(rmask, h3, pos_w, state.age, state.w, gids)
+        lpack = _pack_rows(lmask, h3, pos_w, state.age, state.w, gids,
+                           state.tag)
+        rpack = _pack_rows(rmask, h3, pos_w, state.age, state.w, gids,
+                           state.tag)
 
         fwd3 = [(i, i + 1) for i in range(spec.d3 - 1)]
         bwd3 = [(i, i - 1) for i in range(1, spec.d3)]
@@ -161,8 +163,10 @@ def make_pencil_step(cfg: NBodyConfig, spec: PencilSpec, mesh: Mesh):
                                   halo_from_right[2]])
         ext1_gid = jnp.concatenate([gids, halo_from_left[3],
                                     halo_from_right[3]])
-        ext1_valid = jnp.concatenate([state.alive, halo_from_left[4],
-                                      halo_from_right[4]])
+        ext1_tag = jnp.concatenate([state.tag, halo_from_left[4],
+                                    halo_from_right[4]])
+        ext1_valid = jnp.concatenate([state.alive, halo_from_left[5],
+                                      halo_from_right[5]])
 
         # ---- halo phase 2: i1 faces of the EXTENDED set along "y" --------
         # forwarding received i3-halo rows delivers the corner cells
@@ -172,9 +176,9 @@ def make_pencil_step(cfg: NBodyConfig, spec: PencilSpec, mesh: Mesh):
             dmask = ext1_valid & (e_i1 == base1)
             umask = ext1_valid & (e_i1 == base1 + p1 - 1)
             dpack = _pack_rows(dmask, h1, ext1_pos, ext1_age, ext1_w,
-                               ext1_gid)
+                               ext1_gid, ext1_tag)
             upack = _pack_rows(umask, h1, ext1_pos, ext1_age, ext1_w,
-                               ext1_gid)
+                               ext1_gid, ext1_tag)
             fwd1 = [(i, i + 1) for i in range(spec.d1 - 1)]
             bwd1 = [(i, i - 1) for i in range(1, spec.d1)]
             pr1 = lambda x, perm: jax.lax.ppermute(x, ax1, perm)
@@ -192,11 +196,13 @@ def make_pencil_step(cfg: NBodyConfig, spec: PencilSpec, mesh: Mesh):
                                   halo_from_up[2]])
             ids0 = jnp.concatenate([ext1_gid, halo_from_down[3],
                                     halo_from_up[3]])
-            valid0 = jnp.concatenate([ext1_valid, halo_from_down[4],
-                                      halo_from_up[4]])
+            tags0 = jnp.concatenate([ext1_tag, halo_from_down[4],
+                                     halo_from_up[4]])
+            valid0 = jnp.concatenate([ext1_valid, halo_from_down[5],
+                                      halo_from_up[5]])
         else:
             pos0, age0, w0 = ext1_pos, ext1_age, ext1_w
-            ids0, valid0 = ext1_gid, ext1_valid
+            ids0, tags0, valid0 = ext1_gid, ext1_tag, ext1_valid
 
         # ---- extended-pencil binning -------------------------------------
         c_all = cell_coords(pos0, g)
@@ -217,21 +223,22 @@ def make_pencil_step(cfg: NBodyConfig, spec: PencilSpec, mesh: Mesh):
                     [arr, jnp.full((pad,) + arr.shape[1:], v, arr.dtype)])
                 pos0p, age0p, w0p = (padf(pos0, 0.0), padf(age0, 0.0),
                                      padf(w0, 0.0))
-                ids0p, cellp, validp = (padf(ids0, -1), padf(ext_cell, 0),
-                                        padf(valid0, False))
+                ids0p, tags0p = padf(ids0, -1), padf(tags0, 0)
+                cellp, validp = padf(ext_cell, 0), padf(valid0, False)
             else:
                 pos0p, age0p, w0p = pos0, age0, w0
-                ids0p, cellp, validp = ids0, ext_cell, valid0
+                ids0p, tags0p, cellp, validp = ids0, tags0, ext_cell, valid0
             acc, kill, touch, ovf, max_cell, _, chunks_dropped = \
                 neighbor_pass_blocks(pos0p, age0p, w0p, cellp, validp, cfg,
-                                     dims=ext_dims, ids=ids0p,
+                                     dims=ext_dims, ids=ids0p, tags=tags0p,
                                      acc_mxu=cfg.fast_accum)
             overflow_local = ovf[:c_local]
             listed_dropped = chunks_dropped.astype(jnp.int32)
         else:
             bins = build_bins(ext_cell, valid0, num_ext, cfg.cell_capacity)
             acc, kill, touch = neighbor_pass(pos0, age0, w0, ids0,
-                                             bins.cell_list, ext_dims, cfg)
+                                             bins.cell_list, ext_dims, cfg,
+                                             okeys=collision_okey(tags0))
             overflow_local = bins.overflow[:c_local]
             max_cell = bins.max_cell_occupancy
             listed_dropped = bins.n_listed_dropped
@@ -327,6 +334,8 @@ def make_pencil_step(cfg: NBodyConfig, spec: PencilSpec, mesh: Mesh):
     def step_fn(state: ParticleState, frame: jax.Array):
         # jax 0.9 dispatch-cache recovery — see utils/dispatchbug.py
         return recovering_call(step_jit, state, frame)
+
+    step_fn.jittable = step_jit  # traceable step for batched driver loops
 
     def shard_state(state: ParticleState) -> ParticleState:
         sh = NamedSharding(mesh, pspec)

@@ -15,24 +15,27 @@ subscriptions (``set_pkg_segments`` ``app_common.cu:150-232``; subscriptions
   (reference ``fill_cells`` clipping, ``app.cu:352-409``), so halo traffic is
   non-cyclic — edge devices simply receive empty buffers.
 * The neighbor pass runs on the local slab EXTENDED by one halo plane per
-  side (``ops/neighbor.py`` with dims (G, G, P+2)); collision ordering uses
-  global ids, so kill/survive decisions are identical to a single-device run.
+  side (``ops/neighbor.py`` with dims (G, G, P+2)); collision ordering keys
+  on the persistent TAGS (``collision_okey`` — the same total order every
+  device count sees), with globally-unique slot-derived ids for pair
+  self-exclusion, so kill/survive decisions are identical to a
+  single-device run.
 * **Migration**: after integration + torus wrap, particles that left the slab
   (at most one plane per step: ``MAX_DX <= CELL_SIZE``) are packed and
   ``ppermute``d cyclically (the torus wrap in i3 crosses the ring seam) and
   merged into the destination's free slots — the analog of the reference's
   ``seg_fault`` id migration (``particleSystem.cpp:1336-1374``).
 
-Known divergence from the single-device step (documented, deterministic):
-explosion children and immigrants are allocated into *per-device* free slots,
-so global slot numbering differs from the single-device run.  Because
-collision ordering keys on slot-derived global ids (``gids = d*c_local +
-slot``), a later collision involving a reallocated particle can flip which
-of the two survives relative to the single-device trajectory — forces,
-deaths, and event counts are otherwise identical (children additionally
-cannot collide before reaching ``kid_age``).  The parity tests'
-exact-identity windows are sized accordingly; beyond them, compare event
-ledgers and invariants (see ``test_pencil_long_horizon_invariants``).
+Slot numbering legitimately differs from the single-device run (explosion
+children and immigrants land in *per-device* free slots), but since round 4
+that no longer perturbs physics: collision ordering keys on persistent tags
+and per-particle randomness was always tag-keyed, so slot placement only
+decides WHERE a particle is stored.  The remaining cross-device-count
+divergence is float accumulation order (different row arrangements sum
+gravity in different orders, single-ulp noise that chaos amplifies), which
+bounds how long EXACT trajectory comparisons can run — the parity tests
+size their windows to it and compare event ledgers and invariants beyond
+(see ``test_pencil_long_horizon_invariants``).
 Halo/migration buffer overflow drops particles (fixed shapes); stats report
 drops so production configs can size buffers.
 """
@@ -53,7 +56,7 @@ from ..models.nbody import frame_fields, lifecycle_update
 from ..ops import compact
 from ..ops.grid import build_bins, cell_coords, wrap_positions
 from ..utils.dispatchbug import recovering_call
-from ..ops.neighbor import neighbor_pass
+from ..ops.neighbor import collision_okey, neighbor_pass
 
 
 @dataclasses.dataclass(frozen=True)
@@ -128,24 +131,27 @@ def make_sharded_step(cfg: NBodyConfig, spec: SlabSpec, mesh: Mesh):
         gids = d * c_local + jnp.arange(c_local, dtype=jnp.int32)
         lmask = state.alive & (i3 == base_plane)
         rmask = state.alive & (i3 == base_plane + planes - 1)
-        lpos, lage, lw, lgid, lvalid, ldrop = _pack_rows(
-            lmask, h, pos_w, state.age, state.w, gids)
-        rpos, rage, rw, rgid, rvalid, rdrop = _pack_rows(
-            rmask, h, pos_w, state.age, state.w, gids)
+        lpos, lage, lw, lgid, ltag, lvalid, ldrop = _pack_rows(
+            lmask, h, pos_w, state.age, state.w, gids, state.tag)
+        rpos, rage, rw, rgid, rtag, rvalid, rdrop = _pack_rows(
+            rmask, h, pos_w, state.age, state.w, gids, state.tag)
 
         to_right = [(i, i + 1) for i in range(d_count - 1)]
         to_left = [(i, i - 1) for i in range(1, d_count)]
         pr = lambda x, perm: jax.lax.ppermute(x, ax, perm)
         # my right plane -> right neighbor's left halo; and vice versa
-        halo_l = tuple(pr(x, to_right) for x in (rpos, rage, rw, rgid, rvalid))
-        halo_r = tuple(pr(x, to_left) for x in (lpos, lage, lw, lgid, lvalid))
+        halo_l = tuple(pr(x, to_right)
+                       for x in (rpos, rage, rw, rgid, rtag, rvalid))
+        halo_r = tuple(pr(x, to_left)
+                       for x in (lpos, lage, lw, lgid, ltag, lvalid))
 
         # ---- extended-slab binning --------------------------------------
         pos0 = jnp.concatenate([pos_w, halo_l[0], halo_r[0]])
         age0 = jnp.concatenate([state.age, halo_l[1], halo_r[1]])
         w0 = jnp.concatenate([state.w, halo_l[2], halo_r[2]])
         ids0 = jnp.concatenate([gids, halo_l[3], halo_r[3]])
-        valid0 = jnp.concatenate([state.alive, halo_l[4], halo_r[4]])
+        tags0 = jnp.concatenate([state.tag, halo_l[4], halo_r[4]])
+        valid0 = jnp.concatenate([state.alive, halo_l[5], halo_r[5]])
 
         c_all = cell_coords(pos0, g)  # halo positions are already wrapped
         lp = c_all[:, 2] - (base_plane - 1)            # local plane: halos 0 / P+1
@@ -165,15 +171,16 @@ def make_sharded_step(cfg: NBodyConfig, spec: SlabSpec, mesh: Mesh):
                 age0p = padf(age0, 0.0)
                 w0p = padf(w0, 0.0)
                 ids0p = padf(ids0, -1)
+                tags0p = padf(tags0, 0)
                 cellp = padf(ext_cell, 0)
                 validp = padf(valid0, False)
             else:
                 pos0p, age0p, w0p = pos0, age0, w0
-                ids0p, cellp, validp = ids0, ext_cell, valid0
+                ids0p, tags0p, cellp, validp = ids0, tags0, ext_cell, valid0
             acc, kill, touch, ovf, max_cell, _, chunks_dropped = \
                 neighbor_pass_blocks(
                     pos0p, age0p, w0p, cellp, validp, cfg,
-                    dims=(gd, gd, planes + 2), ids=ids0p,
+                    dims=(gd, gd, planes + 2), ids=ids0p, tags=tags0p,
                     acc_mxu=cfg.fast_accum)
             overflow_local = ovf[:c_local]
             listed_dropped = chunks_dropped.astype(jnp.int32)
@@ -181,7 +188,8 @@ def make_sharded_step(cfg: NBodyConfig, spec: SlabSpec, mesh: Mesh):
             bins = build_bins(ext_cell, valid0, num_ext, cfg.cell_capacity)
             acc, kill, touch = neighbor_pass(pos0, age0, w0, ids0,
                                              bins.cell_list,
-                                             (gd, gd, planes + 2), cfg)
+                                             (gd, gd, planes + 2), cfg,
+                                             okeys=collision_okey(tags0))
             overflow_local = bins.overflow[:c_local]
             max_cell = bins.max_cell_occupancy
             listed_dropped = bins.n_listed_dropped
@@ -274,11 +282,27 @@ def make_sharded_step(cfg: NBodyConfig, spec: SlabSpec, mesh: Mesh):
         # jax 0.9 dispatch-cache recovery — see utils/dispatchbug.py
         return recovering_call(step_jit, state, frame)
 
+    step_fn.jittable = step_jit  # traceable step for batched driver loops
+
     def shard_state(state: ParticleState) -> ParticleState:
         sh = NamedSharding(mesh, pspec)
         return jax.tree.map(lambda a: jax.device_put(a, sh), state)
 
     return step_fn, shard_state
+
+
+def dest_np(pos, cfg: NBodyConfig, spec: SlabSpec):
+    """Owning device index per row (host-side numpy) — the slab invariant.
+    Shared by :func:`distribute` and the driver's streaming sharded-
+    checkpoint loader."""
+    import numpy as np
+
+    spec = spec.derive(cfg)
+    g = cfg.grid
+    planes = g.grid_dim // spec.n_devices
+    i3 = (np.floor(-pos[:, 2] / np.float32(g.cell_size)).astype(np.int64)
+          + g.grid_dim // 2)
+    return np.clip(i3 // planes, 0, spec.n_devices - 1)
 
 
 def distribute(state: ParticleState, cfg: NBodyConfig, spec: SlabSpec
@@ -291,15 +315,10 @@ def distribute(state: ParticleState, cfg: NBodyConfig, spec: SlabSpec
     import numpy as np
 
     spec = spec.derive(cfg)
-    g = cfg.grid
-    planes = g.grid_dim // spec.n_devices
     c_local = cfg.slots // spec.n_devices
 
-    pos = np.asarray(state.pos)
     alive = np.asarray(state.alive)
-    i3 = (np.floor(-pos[:, 2] / np.float32(g.cell_size)).astype(np.int64)
-          + g.grid_dim // 2)
-    dest = np.clip(i3 // planes, 0, spec.n_devices - 1)
+    dest = dest_np(np.asarray(state.pos), cfg, spec)
 
     out = {f: np.zeros_like(np.asarray(getattr(state, f)))
            for f in ("pos", "vel", "acc", "w", "age", "life", "alive",

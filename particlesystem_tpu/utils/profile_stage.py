@@ -39,9 +39,9 @@ def stage_fn(stage: str, cfg, width: int, impl: str, n: int):
                 ["frame", "tag"])
     if stage == "build_grid":
         if impl == "blocks":
-            def f(pos, age, w, cell, alive):
-                return nbk.prepare(pos, age, w, cell, alive, cfg)
-            return f, ["pos", "age", "w", "cell", "alive"]
+            def f(pos, age, w, cell, alive, tag):
+                return nbk.prepare(pos, age, w, cell, alive, cfg, tags=tag)
+            return f, ["pos", "age", "w", "cell", "alive", "tag"]
 
         def f(cell, alive):
             return build_bins(cell, alive, cfg.grid.num_cells,
@@ -55,8 +55,10 @@ def stage_fn(stage: str, cfg, width: int, impl: str, n: int):
             cfg, snap, chunks, n, acc_mxu=cfg.fast_accum),
                 ["snap", "chunks"])
     if stage == "unsort":
-        return (lambda kout, order, ovf_s: nbk.unsort_outputs(
-            kout, order, ovf_s), ["kout", "order", "ovf_s"])
+        from ..ops.neighbor import collision_okey
+        return (lambda kout, order, ovf_s, tag: nbk.unsort_outputs(
+            kout, order, ovf_s, okeys=collision_okey(tag)),
+                ["kout", "order", "ovf_s", "tag"])
     if stage == "lifecycle":
         def f(pos, vel, acc, w, age, life, alive, parent, tag, uvec, fert,
               frame):
