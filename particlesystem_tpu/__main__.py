@@ -23,56 +23,57 @@ def _cmd_nbody(args):
     from .api import NBodySimulation
 
     sim = NBodySimulation(cfg)
-    sim.run(args.iterations, verbose=True)
+    sim.run(args.iterations, verbose=True, batch=args.batch)
+    if args.validate:
+        print(f"validate: {sim.validate()}")
+    if args.save:
+        sim.save(args.save)
+        print(f"checkpoint written to {args.save}")
     print(sim.timers.report())
 
 
 def _run_nbody_sharded(args, cfg):
-    """Multi-device n-body over the chosen spatial decomposition — the
-    analog of the reference's ``mpirun -n 2`` launch (``makefile:3-4``).
-    Initializes jax.distributed when launched under a multi-host
-    coordinator (PSTPU_* envs, see parallel/mesh.py)."""
-    import jax.numpy as jnp
-
-    from .models import nbody
+    """Multi-device n-body through the unified driver
+    (``parallel.driver.DistributedNBodySimulation``) — the analog of the
+    reference's ``mpirun -n 2`` launch (``makefile:3-4``), with the
+    driver's facilities on the command line: batched sync-free iteration,
+    per-phase timers, checkpointing, buffer autosizing, and oracle
+    validation.  Initializes jax.distributed when launched under a
+    multi-host coordinator (PSTPU_* envs, see parallel/mesh.py)."""
     from .parallel import mesh as meshmod
+    from .parallel.driver import DistributedNBodySimulation
 
     meshmod.maybe_init_distributed()
     d = args.devices
     if args.decomp == "slab":
-        from .parallel.nbody_sharded import (SlabSpec, distribute,
-                                             make_sharded_step)
+        from .parallel.nbody_sharded import SlabSpec
         spec = SlabSpec(n_devices=d, impl=args.impl)
-        mesh = meshmod.mesh_1d(d)
-        step_fn, shard_state = make_sharded_step(cfg, spec, mesh)
     elif args.decomp == "pencil":
-        from .parallel.nbody_pencil import (PencilSpec, distribute,
-                                            make_pencil_step)
+        from .parallel.nbody_pencil import PencilSpec
         d3 = args.d3 or max(2, d // 2)
         spec = PencilSpec(d3=d3, d1=d // d3, impl=args.impl)
-        mesh = meshmod.mesh_2d(spec.d3, spec.d1)
-        step_fn, shard_state = make_pencil_step(cfg, spec, mesh)
     else:
-        from .parallel.nbody_brick import (BrickSpec, distribute,
-                                           make_brick_step)
+        from .parallel.nbody_brick import BrickSpec
         d3 = args.d3 or 2
         rest = d // d3
         d1 = max(2, rest // 2) if rest > 1 else 1
         spec = BrickSpec(d3=d3, d1=d1, d2=rest // d1, impl=args.impl)
-        mesh = meshmod.mesh_3d(spec.d3, spec.d1, spec.d2)
-        step_fn, shard_state = make_brick_step(cfg, spec, mesh)
 
-    init, dropped = distribute(nbody.init_fill(cfg), cfg, spec)
-    if dropped:
-        print(f"warning: {dropped} particles dropped at distribution")
-    state = shard_state(init)
-    for frame in range(args.iterations):
-        state, stats = step_fn(state, jnp.int32(frame))
-        print(f"iter {frame + 1}: alive={int(stats['n_alive'])} "
-              f"spawned={int(stats['n_spawned'])} "
-              f"halo_drop={int(stats['halo_dropped'])} "
-              f"mig_drop={int(stats['migration_dropped'])} "
-              f"max_cell={int(stats['max_cell_occupancy'])}")
+    sim = DistributedNBodySimulation(cfg, spec)
+    if sim.n_fill_dropped:
+        print(f"warning: {sim.n_fill_dropped} particles dropped at "
+              f"distribution")
+    if args.autosize:
+        print(f"autosized buffers: {sim.autosize_buffers()}")
+    stats = sim.run(args.iterations, verbose=True, batch=args.batch)
+    print(f"final: alive={stats['n_alive']} "
+          f"degraded_batches={sim.n_degraded_frames}")
+    if args.validate:
+        print(f"validate: {sim.validate()}")
+    if args.save:
+        sim.save(args.save)
+        print(f"checkpoint written to {args.save}")
+    print(sim.timers.report())
 
 
 def _cmd_demo(args):
@@ -113,6 +114,17 @@ def main(argv=None):
                    help="devices along i3 for pencil/brick (0 = auto)")
     p.add_argument("--impl", choices=("blocks", "dense"), default="blocks",
                    help="per-device neighbor pass")
+    p.add_argument("--batch", type=int, default=1,
+                   help="frames per device-side loop (sync-free driver "
+                        "iteration; iterations must divide by it)")
+    p.add_argument("--save", default="",
+                   help="write a checkpoint here after the run")
+    p.add_argument("--validate", action="store_true",
+                   help="compare the production step against the numpy "
+                        "oracle after the run")
+    p.add_argument("--autosize", action="store_true",
+                   help="measure-then-shrink halo/migration buffers before "
+                        "the run (--devices>1 only)")
     p.set_defaults(fn=_cmd_nbody)
 
     p = sub.add_parser("demo", help="run an emitter demo scene")

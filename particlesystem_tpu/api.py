@@ -4,7 +4,9 @@
 BASELINE configs: emitter params, force list, dt, particle capacity) and
 ``NBodySimulation`` is the reference simulation driver (the equivalent of
 ``DoParallelProcess``, ``/root/reference/source/code/src/particleSystem.cpp:1733-1986``,
-with per-phase timing but no per-frame host syncs).
+with per-phase timing; ``run(batch=k)`` runs sync-free — on-device guard
+accumulation, one host readback per batch — while ``run()`` keeps
+per-frame stat readbacks for per-frame reactions).
 """
 
 from __future__ import annotations
@@ -190,7 +192,14 @@ class NBodySimulation:
         self._frozen_active = False
         self._stepped = False
         self._step_jits = {}  # (width, impl, active) -> wrapper jit
+        self._loop_jits = {}  # (width, impl, active, batch) -> batched jit
         self._compact_jit = None
+        # Pallas program-shape ledger for single-Pallas-shape platforms
+        # (utils/dispatchbug.py): the single-step program and a batch-k
+        # loop are DIFFERENT Pallas-bearing shapes; mixing them in one
+        # process wedges the TPU client, so the first dispatch pins the
+        # shape and later mismatches raise a clear error instead.
+        self._pallas_shape = None
         if self.active_bucketing and impl == "blocks" \
                 and not multi_pallas_shapes_safe():
             # This platform wedges on the 2nd dispatch of a 2nd
@@ -267,13 +276,142 @@ class NBodySimulation:
             # prefix invariant is preserved by containment
             self._active = want
 
+    def _claim_shape(self, shape) -> None:
+        """Pin the Pallas program shape on single-Pallas-shape platforms
+        (see ``_pallas_shape``); no-op for shapes that carry no Pallas."""
+        if self.impl != "blocks" or multi_pallas_shapes_safe():
+            return
+        if self._pallas_shape is None:
+            self._pallas_shape = shape
+        elif self._pallas_shape != shape:
+            raise RuntimeError(
+                f"this process already dispatched the {self._pallas_shape} "
+                f"step program; dispatching {shape} as well would wedge the "
+                f"TPU client (utils/dispatchbug.py) — keep one batch size "
+                f"per process (validate()/run(batch=1) use the single-step "
+                f"shape)")
+
     def _step_once(self, state, frame: int):
         # last-line recovery for the residual dispatch-cache flake (see
         # _step_fn and utils/dispatchbug.py)
+        self._claim_shape(("single",))
         self._stepped = True
         return recovering_call(self._step_fn(), state, jnp.int32(frame))
 
-    def run(self, num_iterations: int = 10, verbose: bool = False):
+    def _loop_fn(self, batch: int):
+        """Per-(width, impl, active, batch) jit running ``batch`` frames in
+        ONE device-side ``fori_loop`` with the contract guards accumulated
+        on device — the host syncs once per batch, not once per frame (the
+        sync-free loop ``bench.py`` measures, now the production path)."""
+        key = (self._width, self.impl, self._active, batch)
+        fn = self._loop_jits.get(key)
+        if fn is None:
+            w, impl, cfg = self._width, self.impl, self.cfg
+            act = self._active
+
+            def body(i, carry):
+                s, _, mc, mt, nd = carry
+                s2, st = nbody.step(s, i, cfg, w, impl, act)
+                # accumulate the guards across EVERY frame: spawn capping
+                # and drops are transient, so sampling only the final
+                # frame's stats would let a mid-batch violation pass
+                return (s2, st, jnp.maximum(mc, st.n_spawn_capped),
+                        jnp.maximum(mt, st.n_tail_alive),
+                        nd + st.n_listed_dropped)
+
+            def loop(s, f0):
+                s1, st1 = nbody.step(s, f0, cfg, w, impl, act)
+                init = (s1, st1, st1.n_spawn_capped, st1.n_tail_alive,
+                        st1.n_listed_dropped)
+                s2, st, mc, mt, nd = jax.lax.fori_loop(
+                    f0 + 1, f0 + batch, body, init)
+                # ONE packed guard vector -> ONE host readback per batch
+                guards = jnp.stack([mc, mt, nd, st.n_alive,
+                                    st.max_cell_occupancy, st.n_spawned])
+                return s2, st, guards
+
+            fn = jax.jit(loop)
+            self._loop_jits[key] = fn
+        return fn
+
+    def _run_batched(self, num_iterations: int, batch: int, verbose: bool):
+        if num_iterations % batch:
+            raise ValueError(f"num_iterations {num_iterations} must be a "
+                             f"multiple of batch {batch}")
+        for _ in range(num_iterations // batch):
+            with self.timers.phase("step"):
+                prev = self.state
+                self._claim_shape(("loop", batch, self._width,
+                                   self._active))
+                self._stepped = True
+                self.state, stats, guards = recovering_call(
+                    self._loop_fn(batch), prev, jnp.int32(self.frame))
+                g = np.asarray(guards)  # the batch's single host sync
+                if int(g[2]) and self._width != 0:
+                    # the adaptive width truncated some frame in the batch:
+                    # REDO the whole batch from the saved state at full
+                    # width, which is exact by construction — adaptive mode
+                    # never keeps a degraded frame
+                    self._width = 0
+                    self.state, stats, guards = recovering_call(
+                        self._loop_fn(batch), prev, jnp.int32(self.frame))
+                    g = np.asarray(guards)
+            mc, mt, nd = int(g[0]), int(g[1]), int(g[2])
+            self.frame += batch
+            self.last_stats = stats
+            if mt:
+                raise RuntimeError(
+                    f"batch ending at frame {self.frame}: {mt} alive rows "
+                    f"beyond active prefix {self._active}")
+            if self._active and mc:
+                raise RuntimeError(
+                    f"batch ending at frame {self.frame}: active prefix "
+                    f"{self._active} saturated — {mc} spawns capped that "
+                    f"full width would grant"
+                    + ("; checkpoint+reload in a fresh process to re-bucket"
+                       if self._frozen_active else ""))
+            if nd:
+                self.n_degraded_frames += 1  # >=1 frame in this batch
+                import warnings
+                warnings.warn(
+                    f"batch ending at frame {self.frame}: {nd} neighbor "
+                    f"entries dropped — forces truncated (impl={self.impl});"
+                    f" raise the chunk budget or cell capacity",
+                    RuntimeWarning, stacklevel=3)
+            if self.active_bucketing:
+                self._apply_bucketing(int(g[3]))
+            if self.adaptive_width and nd == 0:
+                new_w = self._pick_width(int(g[4]))
+                if new_w != self._width:
+                    self._width = new_w
+            if verbose:
+                print(f"iter {self.frame}: alive={int(g[3])} "
+                      f"last_spawned={int(g[5])} max_cell={int(g[4])} "
+                      f"width={self._width or self.cfg.cell_capacity}")
+        return self.last_stats
+
+    def run(self, num_iterations: int = 10, verbose: bool = False,
+            batch: int = 1):
+        """Advance ``num_iterations`` frames.
+
+        ``batch=k`` (k > 1) runs the frames in device-side ``fori_loop``
+        batches with the contract guards (``n_tail_alive``,
+        ``n_spawn_capped``, ``n_listed_dropped``) accumulated on device and
+        ONE host readback per batch — no per-frame host syncs, so the
+        production loop runs at the benchmarked frame time (a relay sync
+        costs ~25 ms on a remote-attached TPU, >50% of a 1M frame).
+        Guards are evaluated at batch boundaries: violations raise/warn
+        after at most ``k`` frames instead of 1, and a truncated adaptive-
+        width batch is redone whole at full width (still exact, like the
+        per-frame redo).  ``num_iterations`` must be a multiple of ``k``.
+        ``batch=1`` keeps per-frame readbacks and per-frame reactions.
+
+        On single-Pallas-shape platforms (utils/dispatchbug.py) the batch-k
+        loop and the single step are different Pallas programs: the first
+        dispatch pins the process to one shape, so pick ONE of
+        ``run(batch=k)`` / ``run()``+``validate()`` per process."""
+        if batch > 1:
+            return self._run_batched(num_iterations, batch, verbose)
         for _ in range(num_iterations):
             with self.timers.phase("step"):
                 prev = self.state  # kept so an overflowed frame can be redone
@@ -405,8 +543,9 @@ class NBodySimulation:
                   "full_frame"]
         if self.impl == "blocks":
             snap, chunks, order, ovf_s, *_rest = once(
-                lambda *a: nbk.prepare(*a, cfg), state.pos, state.age,
-                state.w, cell, state.alive)
+                lambda p, a2, w2, c2, al, t: nbk.prepare(
+                    p, a2, w2, c2, al, cfg, tags=t),
+                state.pos, state.age, state.w, cell, state.alive, state.tag)
             n = state.slots
             kout = once(lambda s, c: nbk.kernel_call(cfg, s, c, n),
                         snap, chunks)

@@ -37,7 +37,7 @@ from ..core.state import ParticleState
 from ..models import nbody
 from ..runtime import checkpoint
 from ..utils.timers import PhaseTimers
-from .mesh import mesh_1d, mesh_2d, mesh_3d
+from .mesh import default_mesh
 from .nbody_brick import BrickSpec, make_brick_step
 from .nbody_brick import distribute as _dist_brick
 from .nbody_pencil import PencilSpec, make_pencil_step
@@ -45,13 +45,16 @@ from .nbody_pencil import distribute as _dist_pencil
 from .nbody_sharded import SlabSpec, make_sharded_step
 from .nbody_sharded import distribute as _dist_slab
 
+# default meshes are slice-aware (parallel/mesh.default_mesh): on a
+# multi-slice pod the first axis spans the DCN seam block-wise and the
+# others stay intra-slice; pass an explicit `mesh` to override
 _BY_SPEC = {
     SlabSpec: (make_sharded_step, _dist_slab,
-               lambda s: mesh_1d(s.n_devices, s.axis)),
+               lambda s: default_mesh((s.n_devices,), (s.axis,))),
     PencilSpec: (make_pencil_step, _dist_pencil,
-                 lambda s: mesh_2d(s.d3, s.d1, s.axes)),
+                 lambda s: default_mesh((s.d3, s.d1), s.axes)),
     BrickSpec: (make_brick_step, _dist_brick,
-                lambda s: mesh_3d(s.d3, s.d1, s.d2, s.axes)),
+                lambda s: default_mesh((s.d3, s.d1, s.d2), s.axes)),
 }
 
 
@@ -83,6 +86,7 @@ class DistributedNBodySimulation:
         self.n_degraded_frames = 0
         self._step_fn, self._shard_state = make_step(cfg, self.spec,
                                                      self.mesh)
+        self._loop_jits = {}  # batch -> jitted guard-accumulating loop
         with self.timers.phase("fill"):
             if state is None:
                 state = nbody.init_fill(cfg)
@@ -91,16 +95,79 @@ class DistributedNBodySimulation:
             self.state = self._shard_state(state)
 
     # -- simulation -------------------------------------------------------
-    def run(self, num_iterations: int = 10, verbose: bool = False) -> dict:
-        for _ in range(num_iterations):
+    _SUM_KEYS = ("halo_dropped", "migration_dropped", "n_listed_dropped")
+    _MAX_KEYS = ("halo_used_max", "migration_used_max")
+
+    def _loop_fn(self, batch: int):
+        """Batch-``k`` device-side loop around the sharded step with the
+        drop counters summed and the buffer high-water marks maximized on
+        device — ONE packed host readback per batch instead of three stat
+        syncs per frame (the ~25 ms relay round trip that run(batch=1)
+        pays).  The returned stats dict carries the WHOLE batch's
+        accumulated drops/marks in place of the final frame's."""
+        fn = self._loop_jits.get(batch)
+        if fn is None:
+            step = self._step_fn.jittable
+            sum_keys, max_keys = self._SUM_KEYS, self._MAX_KEYS
+
+            def body(i, carry):
+                s, _, acc = carry
+                s2, st = step(s, jnp.int32(i))
+                acc2 = {k: acc[k] + st[k] for k in sum_keys}
+                acc2.update({k: jnp.maximum(acc[k], st[k])
+                             for k in max_keys})
+                return (s2, st, acc2)
+
+            def loop(s, f0):
+                s1, st1 = step(s, f0)
+                acc = {k: st1[k] for k in sum_keys + max_keys}
+                s2, st, acc = jax.lax.fori_loop(
+                    f0 + 1, f0 + batch, body, (s1, st1, acc))
+                st = dict(st, **acc)
+                guards = jnp.stack([st[k] for k in sum_keys]
+                                   + [st["n_alive"], st["n_spawned"]]
+                                   + [st[k] for k in max_keys])
+                return s2, st, guards
+
+            fn = jax.jit(loop)
+            self._loop_jits[batch] = fn
+        return fn
+
+    def run(self, num_iterations: int = 10, verbose: bool = False,
+            batch: int = 1) -> dict:
+        """Advance ``num_iterations`` frames.  ``batch=k`` (k > 1) runs
+        device-side ``fori_loop`` batches with drop counters accumulated on
+        device and ONE host readback per batch — the sync-free production
+        loop (overflow warnings then arrive at batch boundaries and cover
+        the whole batch); ``num_iterations`` must be a multiple of ``k``.
+        ``batch=1`` keeps per-frame readbacks."""
+        if batch > 1 and num_iterations % batch:
+            raise ValueError(f"num_iterations {num_iterations} must be a "
+                             f"multiple of batch {batch}")
+        for _ in range(num_iterations // batch if batch > 1
+                       else num_iterations):
             with self.timers.phase("step"):
-                self.state, stats = self._step_fn(self.state,
-                                                  jnp.int32(self.frame))
-            self.frame += 1
+                if batch > 1:
+                    from ..utils.dispatchbug import recovering_call
+                    self.state, stats, guards = recovering_call(
+                        self._loop_fn(batch), self.state,
+                        jnp.int32(self.frame))
+                    g = np.asarray(guards)  # the batch's single host sync
+                    drops = {k: int(g[i]) for i, k in
+                             enumerate(self._SUM_KEYS) if int(g[i])}
+                    n_alive, n_spawned = int(g[3]), int(g[4])
+                    halo_max, mig_max = int(g[5]), int(g[6])
+                else:
+                    self.state, stats = self._step_fn(self.state,
+                                                      jnp.int32(self.frame))
+                    drops = {k: int(stats[k]) for k in self._SUM_KEYS
+                             if int(stats.get(k, 0))}
+                    n_alive = int(stats["n_alive"])
+                    n_spawned = int(stats["n_spawned"])
+                    halo_max = int(stats["halo_used_max"])
+                    mig_max = int(stats["migration_used_max"])
+            self.frame += batch
             self.last_stats = stats
-            drops = {k: int(stats[k]) for k in
-                     ("halo_dropped", "migration_dropped",
-                      "n_listed_dropped") if int(stats.get(k, 0))}
             if drops:
                 self.n_degraded_frames += 1
                 warnings.warn(
@@ -108,10 +175,9 @@ class DistributedNBodySimulation:
                     f"raise the spec capacities (see autosize_buffers)",
                     RuntimeWarning, stacklevel=2)
             if verbose:
-                print(f"iter {self.frame}: alive={int(stats['n_alive'])} "
-                      f"spawned={int(stats['n_spawned'])} "
-                      f"halo_max={int(stats['halo_used_max'])} "
-                      f"mig_max={int(stats['migration_used_max'])}")
+                print(f"iter {self.frame}: alive={n_alive} "
+                      f"spawned={n_spawned} halo_max={halo_max} "
+                      f"mig_max={mig_max}")
         return {k: int(v) for k, v in self.last_stats.items()}
 
     # -- state access -----------------------------------------------------
@@ -197,14 +263,16 @@ class DistributedNBodySimulation:
                 "max_row_deviation": worst, "frames": frames}
 
     # -- profiling --------------------------------------------------------
-    def profile_frame(self, k1: int = 2, k2: int = 6) -> dict:
-        """Frame time by dispatch-count slope (run ``k1`` frames, then
-        ``k2``, from the same state; slope removes fixed dispatch/sync
-        overhead — the honest method, see NOTES.md measurement gotchas).
-        Stage-level breakdown is a single-chip facility
-        (``NBodySimulation.profile_frame``); the sharded step is one fused
-        program, so the frame is its unit of timing.  Does not advance
-        state."""
+    def profile_frame(self, k1: int = 2, k2: int = 6,
+                      reps: int = 3) -> dict:
+        """Frame time as the MEDIAN of ``reps`` dispatch-count slopes (each
+        slope: run ``k1`` frames, then ``k2``, from the same state; the
+        slope removes fixed dispatch/sync overhead and the median rejects
+        scheduler hiccups — the same method ``bench.py`` publishes, see
+        NOTES.md measurement gotchas).  Stage-level breakdown is a
+        single-chip facility (``NBodySimulation.profile_frame``); the
+        sharded step is one fused program, so the frame is its unit of
+        timing.  Does not advance state."""
         import time
 
         def run_k(k):
@@ -216,8 +284,11 @@ class DistributedNBodySimulation:
             return time.perf_counter() - t0
 
         run_k(k1)  # warm compile
-        t1, t2 = run_k(k1), run_k(k2)
-        ms = (t2 - t1) / (k2 - k1) * 1e3
+        samples = []
+        for _ in range(max(1, reps)):
+            t1, t2 = run_k(k1), run_k(k2)
+            samples.append((t2 - t1) / (k2 - k1) * 1e3)
+        ms = float(np.median(samples))
         self.timers.totals["frame/full_frame"] += ms / 1e3
         self.timers.counts["frame/full_frame"] += 1
         return {"full_frame": ms}
