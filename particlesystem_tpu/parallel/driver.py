@@ -9,9 +9,10 @@ of the three decomposition specs (:class:`~.nbody_sharded.SlabSpec`,
 ``Mesh`` and provides the same facilities the single-chip driver has:
 
 * ``run``            — the iteration loop, per-phase timers, drop warnings;
-* ``save`` / ``load`` — checkpoint round-trip (gathered to host, config- and
-  spec-fingerprinted; ``load`` re-distributes, so checkpoints move between
-  decompositions);
+* ``save`` / ``load`` — SHARDED checkpoint round-trip (per-process shard
+  files, config- and spec-fingerprinted; no process ever holds the full
+  state on the same-spec path; ``load`` re-distributes when the spec
+  differs, so checkpoints move between decompositions);
 * ``validate``       — the sharded production step vs the independent numpy
   oracle (the reference stubs this comparison out — ``DoCompare``,
   ``particleSystem.cpp:2254-2257``);
@@ -197,27 +198,65 @@ class DistributedNBodySimulation:
         return int(np.asarray(self.gather().alive).sum())
 
     # -- persistence ------------------------------------------------------
+    def _spec_fp(self) -> dict:
+        """JSON-normalized spec fingerprint (tuples become lists, exactly
+        as they read back from a checkpoint's meta.json)."""
+        import dataclasses
+        import json
+        return json.loads(json.dumps(dataclasses.asdict(self.spec)))
+
     def _meta(self) -> dict:
         return dict(frame=self.frame, spec_type=type(self.spec).__name__,
+                    spec=self._spec_fp(),
                     **checkpoint.config_fingerprint(self.cfg))
 
     def save(self, path: str) -> None:
-        """Checkpoint the gathered global state + frame counter, stamped
-        with the config fingerprint (same-shape-different-physics resume is
-        refused on load, like the single-chip driver)."""
-        checkpoint.save(path, self.gather(), meta=self._meta())
+        """Checkpoint to a SHARDED directory at ``path``: each process
+        writes only its addressable device shards + global indices, stamped
+        with the config AND spec fingerprints (same-shape-different-physics
+        resume is refused on load, like the single-chip driver).  No
+        process gathers the full state — checkpoint memory and IO scale
+        with state/process_count (the reference fetches everything to the
+        master, ``pmFetchMemory``; that shape breaks at multi-host scale)."""
+        checkpoint.save_sharded(path, self.state, meta=self._meta())
 
     def load(self, path: str) -> int:
-        """Resume from a checkpoint written by this driver OR the
-        single-chip ``NBodySimulation`` (the state layout is one global
-        slot array either way).  The loaded state is re-distributed to THIS
-        spec's slot invariant, so checkpoints are portable across
-        decompositions; returns the number of particles dropped by
-        redistribution (0 unless per-device capacity shrank)."""
-        template = self.gather()
-        state, meta = checkpoint.load(path, template, expect_config=self.cfg)
-        state, n_dropped = self._distribute(state, self.cfg, self.spec)
-        self.state = self._shard_state(state)
+        """Resume from a checkpoint written by this driver (sharded
+        directory) OR the single-chip ``NBodySimulation`` (monolithic
+        ``.npz`` — the state layout is one global slot array either way).
+
+        * **Same spec** (the production resume case): shards stream
+          straight onto their owning devices — no process materializes the
+          full state, no redistribution (the slot invariant is already this
+          spec's).
+        * **Different spec / decomposition / monolithic file**: the global
+          state is assembled on host (full-state memory in each process —
+          the documented portability cost) and re-distributed to THIS
+          spec's slot invariant.
+
+        Returns the number of particles dropped by redistribution (always
+        0 on the same-spec path)."""
+        if checkpoint.is_sharded(path):
+            meta = checkpoint._read_sharded_meta(path, self.cfg)["meta"]
+            same_spec = (meta.get("spec_type") == type(self.spec).__name__
+                         and meta.get("spec") == self._spec_fp())
+            if same_spec:
+                self.state, meta = checkpoint.load_sharded(
+                    path, self.state, expect_config=self.cfg)
+                n_dropped = 0
+            else:
+                treedef = jax.tree.structure(self.state)
+                state, meta = checkpoint.load_sharded_host(
+                    path, treedef, expect_config=self.cfg)
+                state, n_dropped = self._distribute(state, self.cfg,
+                                                    self.spec)
+                self.state = self._shard_state(state)
+        else:
+            template = self.gather()
+            state, meta = checkpoint.load(path, template,
+                                          expect_config=self.cfg)
+            state, n_dropped = self._distribute(state, self.cfg, self.spec)
+            self.state = self._shard_state(state)
         self.frame = int(meta.get("frame", 0))
         self.last_stats = None
         return n_dropped

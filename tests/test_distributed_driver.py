@@ -6,6 +6,7 @@ red path."""
 
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -91,6 +92,68 @@ def test_autosize_buffers_shrinks_and_stays_exact():
         assert stats["halo_dropped"] == 0, stats
         assert stats["migration_dropped"] == 0, stats
     assert sim.n_degraded_frames == 0
+
+
+def test_sharded_checkpoint_fast_path(tmp_path, monkeypatch):
+    """Same-spec sharded checkpoints (VERDICT r3 item 4): save writes
+    per-device shard chunks WITHOUT gathering the full state, and load
+    streams them straight back onto their owning devices — slot-EXACT
+    state equality (stronger than the redistribute path's alive-row
+    multiset), frame restored, no redistribution drops."""
+    import json
+
+    from particlesystem_tpu.runtime import checkpoint
+
+    sim = DistributedNBodySimulation(CFG, SlabSpec(n_devices=8))
+    sim.run(3)
+    path = os.path.join(tmp_path, "ckpt")
+
+    # the save path must never materialize the full global state
+    monkeypatch.setattr(DistributedNBodySimulation, "gather",
+                        lambda self: pytest.fail("save() gathered"))
+    sim.save(path)
+    monkeypatch.undo()
+
+    # on-disk layout: meta.json + one shard file for this (only) process,
+    # holding one chunk per device per leaf with its global index range
+    with open(os.path.join(path, "meta.json")) as f:
+        info = json.load(f)
+    assert info["format"] == "pstpu-sharded-v1"
+    assert info["meta"]["spec_type"] == "SlabSpec"
+    assert info["meta"]["frame"] == 3
+    z = np.load(os.path.join(path, "shard_p00000.npz"))
+    c_local = CFG.slots // 8
+    starts = sorted(int(z[k][0, 0]) for k in z.files
+                    if k.startswith("l0s") and k.endswith("_idx"))
+    assert starts == [d * c_local for d in range(8)]
+
+    before = jax.tree.map(np.asarray, sim.state)
+    sim.run(2)
+    dropped = sim.load(path)
+    assert dropped == 0 and sim.frame == 3
+    after = jax.tree.map(np.asarray, sim.state)
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(a, b)
+
+    # spec mismatch (different capacities) routes through redistribute,
+    # not the streaming fast path — and still round-trips the particles
+    spec2 = SlabSpec(n_devices=8, halo_capacity=512, migration_capacity=256)
+    sim2 = DistributedNBodySimulation(CFG, spec2)
+    assert sim2.load(path) == 0
+    assert sim2.frame == 3
+    rows_a = _alive_rows(before.pos, before.vel, before.age, before.life,
+                         before.alive)
+    g2 = sim2.gather()
+    rows_b = _alive_rows(*(np.asarray(x) for x in
+                           (g2.pos, g2.vel, g2.age, g2.life, g2.alive)))
+    np.testing.assert_array_equal(rows_a, rows_b)
+
+    # config mismatch is refused on the sharded path too
+    import dataclasses
+    cfg_bad = dataclasses.replace(CFG, seed=99)
+    sim3 = DistributedNBodySimulation(cfg_bad, SlabSpec(n_devices=8))
+    with pytest.raises(ValueError, match="config mismatch"):
+        sim3.load(path)
 
 
 def test_autosize_refused_on_single_pallas_platform(monkeypatch):

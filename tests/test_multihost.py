@@ -76,6 +76,16 @@ def _run_workers(decomp: str):
     assert drv[0]["events_match"]
     assert drv[0]["max_dev"] < 1e-3
     assert drv[0]["alive"] > 0
+
+    # sharded checkpoint crossed the process boundary: each process wrote
+    # only its own shards (about half the global bytes), streamed them back
+    # slot-exactly, and never invoked process_allgather on the save/load path
+    ck = [json.loads(l[10:]) for o in outs for l in o.splitlines()
+          if l.startswith("SHARDCKPT ")]
+    assert len(ck) == 2
+    for c in ck:
+        assert c["ok"]
+        assert 0 < c["my_bytes"] < 0.6 * c["global_bytes"]
     return s0
 
 
