@@ -112,12 +112,32 @@ def save_sharded(path: str, tree, meta: dict | None = None) -> None:
     process holding only that process's addressable device shards with
     their global index ranges.  Replicated shards are deduplicated within
     a process.  Returns after a cross-process barrier, so every process
-    may immediately :func:`load_sharded` the result."""
+    may immediately :func:`load_sharded` the result.
+
+    Multi-process runs require ``path`` to be on a filesystem shared by
+    ALL processes: ``meta.json`` is written only by process 0 and each
+    process's load reads the other processes' shard files.  On per-host
+    local disks the load fails with a missing-shard error.
+
+    Overwriting an existing checkpoint directory is safe: process 0
+    removes stale ``shard_p*.npz`` / ``meta.json`` first (behind a
+    barrier), so a re-save under a SMALLER process count cannot leave
+    higher-pid shard files behind to corrupt a later load."""
     leaves, _ = jax.tree.flatten(tree)
     leaves = [jax.block_until_ready(l) if hasattr(l, "block_until_ready")
               else l for l in leaves]
     pid = jax.process_index()
     os.makedirs(path, exist_ok=True)
+    if pid == 0:
+        for fn in glob.glob(os.path.join(path, "shard_p*.npz")):
+            os.unlink(fn)
+        stale_meta = os.path.join(path, "meta.json")
+        if os.path.exists(stale_meta):
+            os.unlink(stale_meta)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        # nobody writes until process 0 has cleared stale files
+        multihost_utils.sync_global_devices("pstpu_ckpt_clear:" + path)
     arrays, chunk_meta = {}, []
     for i, leaf in enumerate(leaves):
         shape = tuple(np.shape(leaf))
@@ -160,27 +180,47 @@ def _read_sharded_meta(path: str, expect_config=None) -> dict:
     return info
 
 
-def _chunk_index(path: str):
+def _chunk_index(path: str, n_processes: int):
     """Map leaf id -> list of (npz, key, [[start,stop],...]) WITHOUT loading
     chunk data: npz member arrays load lazily, so only the tiny ``_idx``
-    arrays are read here."""
+    arrays are read here.  Reads EXACTLY the ``n_processes`` shard files
+    recorded in meta.json — never a glob, so stale higher-pid files from an
+    older save cannot leak in — and errors if any expected file is absent
+    (e.g. a multi-process checkpoint written to per-host local disks
+    instead of a shared filesystem).  Returns (chunks, handles); the caller
+    must close every handle after assembling (the NpzFiles stay open for
+    lazy member reads until then)."""
     chunks: dict = {}
-    for fn in sorted(glob.glob(os.path.join(path, "shard_p*.npz"))):
+    handles = []
+    for pid in range(n_processes):
+        fn = os.path.join(path, f"shard_p{pid:05d}.npz")
+        if not os.path.exists(fn):
+            for z in handles:
+                z.close()
+            raise FileNotFoundError(
+                f"checkpoint {path!r} lists {n_processes} processes in "
+                f"meta.json but {os.path.basename(fn)} is missing — "
+                f"multi-process checkpoints need a shared filesystem")
         z = np.load(fn)
+        handles.append(z)
         for key in z.files:
             if key.endswith("_idx"):
                 base = key[:-4]
                 i = int(base[1:base.index("s")])
                 chunks.setdefault(i, []).append(
                     (z, base, z[key].tolist()))
-    return chunks
+    return chunks, handles
 
 
 def _assemble(dst_idx, dtype, chunks) -> np.ndarray:
     """Assemble the global slice ``dst_idx`` ([[start,stop],...]) from the
     saved chunks, loading ONLY chunk members that intersect it."""
     out = np.empty([b - a for a, b in dst_idx], dtype=dtype)
-    filled = np.zeros(out.shape[0] if out.ndim else 1, dtype=bool)
+    # full-rank coverage mask (1 byte/element): replicated chunks may
+    # overlap, so intersection volumes cannot simply be summed, and a
+    # dim-0-only mask would miss a chunk that covers rows but only part of
+    # the trailing dims (ADVICE r4)
+    filled = np.zeros(out.shape if out.ndim else (1,), dtype=bool)
     for z, base, src_idx in chunks:
         inter = [[max(a, c), min(b, d)]
                  for (a, b), (c, d) in zip(dst_idx, src_idx)]
@@ -193,10 +233,13 @@ def _assemble(dst_idx, dtype, chunks) -> np.ndarray:
                        for (a, b), o in zip(inter, src_idx))
         out[dst_sl] = data[src_sl]
         if out.ndim:
-            filled[dst_sl[0]] = True
+            filled[dst_sl] = True
         else:
             filled[:] = True
-    assert filled.all(), "checkpoint chunks do not cover the requested slice"
+    if not filled.all():
+        raise ValueError(
+            "checkpoint chunks do not cover the requested slice "
+            f"({int(filled.sum())}/{filled.size} elements covered)")
     return out
 
 
@@ -206,7 +249,9 @@ def load_sharded(path: str, template, expect_config=None):
     sharded state).  Each process reads only the saved chunks intersecting
     its addressable shards (``jax.make_array_from_callback``), so no
     process materializes the full state.  Global shapes/dtypes must match
-    ``template``.  Returns (tree, meta)."""
+    ``template``.  Multi-process checkpoints must live on a shared
+    filesystem (see :func:`save_sharded`); a missing shard file raises
+    ``FileNotFoundError``.  Returns (tree, meta)."""
     info = _read_sharded_meta(path, expect_config)
     leaves, treedef = jax.tree.flatten(template)
     if len(info["leaves"]) != len(leaves):
@@ -216,22 +261,35 @@ def load_sharded(path: str, template, expect_config=None):
         if list(np.shape(tpl)) != lm["shape"]:
             raise ValueError(f"checkpoint leaf shape {lm['shape']} != "
                              f"template {list(np.shape(tpl))}")
-    chunks = _chunk_index(path)
-    out = []
-    for i, tpl in enumerate(leaves):
-        dtype = np.dtype(info["leaves"][i]["dtype"])
-        shape = tuple(info["leaves"][i]["shape"])
+        tpl_dt = (tpl.dtype if hasattr(tpl, "dtype")
+                  else np.asarray(tpl).dtype)
+        if np.dtype(lm["dtype"]) != np.dtype(tpl_dt):
+            raise ValueError(f"checkpoint leaf dtype {lm['dtype']} != "
+                             f"template {np.dtype(tpl_dt)} — config "
+                             f"mismatch?")
+    chunks, handles = _chunk_index(path, info["n_processes"])
+    try:
+        out = []
+        for i, tpl in enumerate(leaves):
+            dtype = np.dtype(info["leaves"][i]["dtype"])
+            shape = tuple(info["leaves"][i]["shape"])
 
-        def cb(index, _i=i, _dt=dtype, _shape=shape):
-            return _assemble(_canon_index(index, _shape), _dt,
-                             chunks.get(_i, []))
+            def cb(index, _i=i, _dt=dtype, _shape=shape):
+                return _assemble(_canon_index(index, _shape), _dt,
+                                 chunks.get(_i, []))
 
-        sharding = tpl.sharding if hasattr(tpl, "sharding") else None
-        if sharding is None:
-            out.append(jnp.asarray(_assemble([[0, d] for d in shape],
-                                             dtype, chunks.get(i, []))))
-        else:
-            out.append(jax.make_array_from_callback(shape, sharding, cb))
+            sharding = tpl.sharding if hasattr(tpl, "sharding") else None
+            if sharding is None:
+                out.append(jnp.asarray(_assemble([[0, d] for d in shape],
+                                                 dtype, chunks.get(i, []))))
+            else:
+                out.append(jax.make_array_from_callback(shape, sharding, cb))
+        # make_array_from_callback invokes cb for every addressable shard
+        # before returning, so all lazy npz reads are done here
+        out = [jax.block_until_ready(x) for x in out]
+    finally:
+        for z in handles:
+            z.close()
     return jax.tree.unflatten(treedef, out), info["meta"]
 
 
@@ -242,10 +300,15 @@ def load_sharded_host(path: str, treedef=None, expect_config=None):
     ``treedef``: unflatten target (e.g. from a live state of any config);
     returns (tree-or-leaf-list, meta)."""
     info = _read_sharded_meta(path, expect_config)
-    chunks = _chunk_index(path)
-    leaves = [jnp.asarray(_assemble([[0, d] for d in lm["shape"]],
-                                    np.dtype(lm["dtype"]), chunks.get(i, [])))
-              for i, lm in enumerate(info["leaves"])]
+    chunks, handles = _chunk_index(path, info["n_processes"])
+    try:
+        leaves = [jnp.asarray(_assemble([[0, d] for d in lm["shape"]],
+                                        np.dtype(lm["dtype"]),
+                                        chunks.get(i, [])))
+                  for i, lm in enumerate(info["leaves"])]
+    finally:
+        for z in handles:
+            z.close()
     if treedef is not None:
         return jax.tree.unflatten(treedef, leaves), info["meta"]
     return leaves, info["meta"]

@@ -156,6 +156,66 @@ def test_sharded_checkpoint_fast_path(tmp_path, monkeypatch):
         sim3.load(path)
 
 
+def test_sharded_checkpoint_overwrite_clears_stale_shards(tmp_path):
+    """Re-saving into an existing checkpoint directory must not let stale
+    shard files from an older (e.g. higher-process-count) save corrupt a
+    later load (ADVICE r4 medium): save clears shard_p*.npz first, and
+    load reads exactly the meta-listed process files — a stale higher-pid
+    file is ignored even if clearing were skipped."""
+    import json
+
+    from particlesystem_tpu.runtime import checkpoint
+
+    sim = DistributedNBodySimulation(CFG, SlabSpec(n_devices=8))
+    sim.run(2)
+    path = os.path.join(tmp_path, "ckpt")
+    sim.save(path)
+
+    # plant a stale higher-pid shard whose chunks would overwrite leaf 0
+    # if load globbed the directory
+    z0 = np.load(os.path.join(path, "shard_p00000.npz"))
+    poisoned = {}
+    for k in z0.files:
+        if k.startswith("l0s"):
+            poisoned[k] = (z0[k] if k.endswith("_idx")
+                           else np.full_like(z0[k], 7.5))
+    z0.close()
+    stale = os.path.join(path, "shard_p00001.npz")
+    np.savez(stale, **poisoned)
+
+    before = jax.tree.map(np.asarray, sim.state)
+    sim.run(1)
+    assert sim.load(path) == 0
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(sim.state)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+    # re-save clears the stale file
+    sim.save(path)
+    assert not os.path.exists(stale)
+    with open(os.path.join(path, "meta.json")) as f:
+        assert json.load(f)["n_processes"] == 1
+
+    # a MISSING meta-listed shard file fails loudly (per-host local disks
+    # instead of the required shared filesystem)
+    os.unlink(os.path.join(path, "shard_p00000.npz"))
+    with pytest.raises(FileNotFoundError, match="shared filesystem"):
+        sim.load(path)
+
+
+def test_sharded_checkpoint_dtype_mismatch(tmp_path):
+    """load_sharded must reject a checkpoint whose leaf dtype differs from
+    the template (ADVICE r4): previously it silently assembled with the
+    stored dtype."""
+    from particlesystem_tpu.runtime import checkpoint
+
+    tree = {"x": jax.numpy.arange(16, dtype=jax.numpy.float32)}
+    path = os.path.join(tmp_path, "ck")
+    checkpoint.save_sharded(path, tree)
+    bad_tpl = {"x": jax.numpy.arange(16, dtype=jax.numpy.int32)}
+    with pytest.raises(ValueError, match="dtype"):
+        checkpoint.load_sharded(path, bad_tpl)
+
+
 def test_autosize_refused_on_single_pallas_platform(monkeypatch):
     """On a platform that cannot re-dispatch a second Pallas program shape
     (utils/dispatchbug.py), resizing a blocks-impl step would wedge the
