@@ -12,6 +12,22 @@ import argparse
 import sys
 
 
+def _resolve_batch(args) -> int:
+    """``--batch 0`` auto-resolves inside ``run()``; but ``--validate``
+    needs the single-step program shape, which on single-Pallas-shape
+    platforms (utils/dispatchbug.py) cannot coexist with the batched-loop
+    shape when the step carries the Pallas kernel — fall back to per-frame
+    mode there so run+validate both work in one process."""
+    if args.batch == 0 and args.validate and args.impl == "blocks":
+        from .utils.dispatchbug import multi_pallas_shapes_safe
+        if not multi_pallas_shapes_safe():
+            print("note: --validate shares the per-frame program shape and "
+                  "this platform allows one Pallas shape per process — "
+                  "running with --batch 1")
+            return 1
+    return args.batch
+
+
 def _cmd_nbody(args):
     from .core.config import GridSpec, NBodyConfig
 
@@ -22,8 +38,8 @@ def _cmd_nbody(args):
         return
     from .api import NBodySimulation
 
-    sim = NBodySimulation(cfg)
-    sim.run(args.iterations, verbose=True, batch=args.batch)
+    sim = NBodySimulation(cfg, impl=args.impl)
+    sim.run(args.iterations, verbose=True, batch=_resolve_batch(args))
     if args.validate:
         print(f"validate: {sim.validate()}")
     if args.save:
@@ -65,7 +81,8 @@ def _run_nbody_sharded(args, cfg):
               f"distribution")
     if args.autosize:
         print(f"autosized buffers: {sim.autosize_buffers()}")
-    stats = sim.run(args.iterations, verbose=True, batch=args.batch)
+    stats = sim.run(args.iterations, verbose=True,
+                    batch=_resolve_batch(args))
     print(f"final: alive={stats['n_alive']} "
           f"degraded_batches={sim.n_degraded_frames}")
     if args.validate:
@@ -113,10 +130,12 @@ def main(argv=None):
     p.add_argument("--d3", type=int, default=0,
                    help="devices along i3 for pencil/brick (0 = auto)")
     p.add_argument("--impl", choices=("blocks", "dense"), default="blocks",
-                   help="per-device neighbor pass")
-    p.add_argument("--batch", type=int, default=1,
+                   help="neighbor pass (per-device for --devices>1)")
+    p.add_argument("--batch", type=int, default=0,
                    help="frames per device-side loop (sync-free driver "
-                        "iteration; iterations must divide by it)")
+                        "iteration; iterations must divide by it). 0 = "
+                        "auto: largest divisor of --iterations <= 16. "
+                        "1 = per-frame readbacks (debugging)")
     p.add_argument("--save", default="",
                    help="write a checkpoint here after the run")
     p.add_argument("--validate", action="store_true",

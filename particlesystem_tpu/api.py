@@ -27,6 +27,18 @@ from .utils.dispatchbug import multi_pallas_shapes_safe, recovering_call
 from .utils.timers import PhaseTimers
 
 
+def auto_batch(num_iterations: int, cap: int = 16) -> int:
+    """Default batching policy for ``run(batch=0)``: the largest divisor of
+    ``num_iterations`` that is <= ``cap`` — one host sync per batch, and the
+    reference's own 10-iteration run length (common.h:69) becomes a single
+    sync-free device-side loop.  Falls back to 1 (per-frame) only when
+    ``num_iterations`` has no divisor in [2, cap] (e.g. a prime > cap)."""
+    for b in range(min(cap, num_iterations), 0, -1):
+        if num_iterations % b == 0:
+            return b
+    return 1
+
+
 class ParticleSystem:
     """Builder + runner for emitter scenes.
 
@@ -391,8 +403,14 @@ class NBodySimulation:
         return self.last_stats
 
     def run(self, num_iterations: int = 10, verbose: bool = False,
-            batch: int = 1):
+            batch: int = 0):
         """Advance ``num_iterations`` frames.
+
+        ``batch=0`` (the default) auto-batches: the largest divisor of
+        ``num_iterations`` <= 16 (:func:`auto_batch`), so the sync-free
+        loop below is what plain ``run()`` executes.  Pass ``batch=1``
+        explicitly for per-frame readbacks and per-frame reactions (the
+        debugging mode, and the shape ``validate()`` shares).
 
         ``batch=k`` (k > 1) runs the frames in device-side ``fori_loop``
         batches with the contract guards (``n_tail_alive``,
@@ -409,7 +427,9 @@ class NBodySimulation:
         On single-Pallas-shape platforms (utils/dispatchbug.py) the batch-k
         loop and the single step are different Pallas programs: the first
         dispatch pins the process to one shape, so pick ONE of
-        ``run(batch=k)`` / ``run()``+``validate()`` per process."""
+        ``run(batch=k)`` / ``run(batch=1)``+``validate()`` per process."""
+        if batch == 0:
+            batch = auto_batch(num_iterations)
         if batch > 1:
             return self._run_batched(num_iterations, batch, verbose)
         for _ in range(num_iterations):

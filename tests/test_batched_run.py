@@ -27,7 +27,7 @@ CFG = NBodyConfig(n_fill=3000, capacity=8192,
 def test_batched_run_matches_per_frame_exactly():
     a = NBodySimulation(CFG, impl="dense")
     b = NBodySimulation(CFG, impl="dense")
-    a.run(6)
+    a.run(6, batch=1)
     b.run(6, batch=3)
     assert a.frame == b.frame == 6
     for k in ("n_alive", "n_age_deaths", "n_collision_kills",
@@ -82,10 +82,41 @@ def test_batched_run_still_trips_tail_alive_guard():
         sim.run(2, batch=2)
 
 
+def test_auto_batch_policy():
+    """batch=0 (the new default, VERDICT r4 item 5): largest divisor of the
+    iteration count <= 16; per-frame only when no divisor exists."""
+    from particlesystem_tpu.api import auto_batch
+
+    assert auto_batch(10) == 10     # the reference's own run length
+    assert auto_batch(32) == 16
+    assert auto_batch(48) == 16
+    assert auto_batch(17) == 1      # prime > 16: fall back to per-frame
+    assert auto_batch(1) == 1
+    assert auto_batch(100) == 10
+
+
+def test_default_run_is_batched():
+    """Plain run() must take the sync-free batched path by default, and
+    still produce the exact per-frame trajectory."""
+    a = NBodySimulation(CFG, impl="dense")
+    b = NBodySimulation(CFG, impl="dense")
+    a.run(6, batch=1)
+    b.run(6)  # default: auto_batch(6) == 6 -> one device-side loop
+    assert b._loop_jits, "default run() did not use the batched loop"
+    assert (6, ) in {(k[-1],) for k in b._loop_jits}
+    for fld in ("pos", "vel", "age", "life", "alive", "tag"):
+        np.testing.assert_array_equal(np.asarray(getattr(a.state, fld)),
+                                      np.asarray(getattr(b.state, fld)), fld)
+
+    da = DistributedNBodySimulation(CFG, SlabSpec(n_devices=8))
+    da.run(4)  # default: auto_batch(4) == 4
+    assert 4 in da._loop_jits, "driver default run() not batched"
+
+
 def test_distributed_batched_run_matches_per_frame():
     a = DistributedNBodySimulation(CFG, SlabSpec(n_devices=8))
     b = DistributedNBodySimulation(CFG, SlabSpec(n_devices=8))
-    sa = a.run(4)
+    sa = a.run(4, batch=1)
     sb = b.run(4, batch=2)
     assert a.frame == b.frame == 4
     assert sa["n_alive"] == sb["n_alive"]
@@ -112,7 +143,9 @@ def test_distributed_batched_run_still_warns_on_drops():
 
 def test_cli_multidevice_routes_through_driver(tmp_path, capsys):
     """The launcher front door drives DistributedNBodySimulation (VERDICT
-    r3 #3): batched iteration, timers report, checkpoint on request."""
+    r3 #3): batched iteration BY DEFAULT (no --batch flag: auto_batch
+    resolves 4 iterations to one 4-frame device loop, VERDICT r4 item 5),
+    timers report, checkpoint on request."""
     import os
 
     from particlesystem_tpu.__main__ import main
@@ -120,8 +153,11 @@ def test_cli_multidevice_routes_through_driver(tmp_path, capsys):
     ck = os.path.join(tmp_path, "cli.npz")
     main(["nbody", "--particles", "3000", "--grid-dim", "16",
           "--iterations", "4", "--devices", "8", "--decomp", "slab",
-          "--impl", "dense", "--batch", "2", "--save", ck])
+          "--impl", "dense", "--save", ck])
     out = capsys.readouterr().out
     assert "final: alive=" in out
     assert "step" in out  # timers report includes the step phase
     assert os.path.exists(ck)
+    # verbose per-iteration lines print once per BATCH, not per frame:
+    # iterations=4 auto-batches to one 4-frame loop -> exactly one line
+    assert out.count("iter ") == 1, out
