@@ -73,6 +73,36 @@ class ShardedEmitterEngine:
         self._step = jax.jit(shard_map(
             device_frame, mesh=mesh, in_specs=(state_spec,),
             out_specs=state_spec, check_vma=False), donate_argnums=0)
+        self._device_frame = device_frame
+        self._state_spec = state_spec
+        self._step_many_jits: dict = {}
+
+    def _many_fn(self, k: int):
+        """Per-k jit: ``k`` frames in ONE device dispatch — a fori_loop
+        (unroll=2, the measured ~25% win of the single-chip ``step_many``,
+        runtime/engine.py) around the per-device frame INSIDE the
+        shard_map, so the DP engine pays dispatch latency once per batch
+        like the single-chip engine (VERDICT r4 item 6)."""
+        fn = self._step_many_jits.get(k)
+        if fn is None:
+            body = self._device_frame
+
+            def many(s: EngineState) -> EngineState:
+                return jax.lax.fori_loop(0, k, lambda _, x: body(x), s,
+                                         unroll=2)
+
+            fn = jax.jit(shard_map(
+                many, mesh=self.mesh, in_specs=(self._state_spec,),
+                out_specs=self._state_spec, check_vma=False),
+                donate_argnums=0)
+            self._step_many_jits[k] = fn
+        return fn
+
+    def step_many(self, s: EngineState, k: int) -> EngineState:
+        """Run ``k`` frames in one dispatch; bitwise-identical to ``k``
+        :meth:`step` calls (same per-device frame body)."""
+        with self.timers.phase("step"):
+            return self._many_fn(k)(s)
 
     def init(self) -> EngineState:
         d = self.d

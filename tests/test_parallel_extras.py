@@ -94,6 +94,50 @@ def test_sharded_emitter_matches_independent_locals(alloc, layout):
 
 
 @pytest.mark.parametrize("alloc,layout", [("ring", "packed8"),
+                                          ("select", "packed8"),
+                                          ("select", "slim")])
+def test_sharded_emitter_step_many_matches_step(alloc, layout):
+    """DP batched loop (VERDICT r4 item 6): ``step_many(k)`` — one
+    dispatch, fori_loop inside the shard_map — must be bitwise-identical
+    to ``k`` per-frame ``step()`` calls, and resume cleanly from a
+    checkpoint (the single-chip engine's step/step_many equivalence,
+    extended across the mesh)."""
+    mesh = mesh_1d(8)
+    a = ShardedEmitterEngine(CFG, mesh, alloc=alloc, layout=layout)
+    b = ShardedEmitterEngine(CFG, mesh, alloc=alloc, layout=layout)
+    ea, eb = a.init(), b.init()
+    for _ in range(9):
+        ea = a.step(ea)
+    eb = b.step_many(eb, 9)
+    for fi in range(a.local.n_fields):
+        np.testing.assert_array_equal(np.asarray(ea.fields[fi]),
+                                      np.asarray(eb.fields[fi]),
+                                      err_msg=f"field {fi}")
+    np.testing.assert_array_equal(np.asarray(ea.cursor),
+                                  np.asarray(eb.cursor))
+    np.testing.assert_array_equal(np.asarray(ea.frame), np.asarray(eb.frame))
+    assert a.alive_count(ea) == b.alive_count(eb)
+
+
+def test_sharded_emitter_step_many_checkpoint_resume(tmp_path):
+    """Checkpoint written mid-batched-run resumes bitwise on the batched
+    loop (extends the per-frame roundtrip test to step_many)."""
+    import os
+
+    mesh = mesh_1d(8)
+    eng = ShardedEmitterEngine(CFG, mesh, alloc="select", layout="packed8")
+    es = eng.step_many(eng.init(), 6)
+    path = os.path.join(tmp_path, "emitter_batched.npz")
+    eng.save(path, es)
+    ahead = eng.step_many(es, 4)
+    resumed = eng.step_many(eng.load(path, eng.init()), 4)
+    for fi in range(eng.local.n_fields):
+        np.testing.assert_array_equal(np.asarray(ahead.fields[fi]),
+                                      np.asarray(resumed.fields[fi]),
+                                      err_msg=f"field {fi}")
+
+
+@pytest.mark.parametrize("alloc,layout", [("ring", "packed8"),
                                           ("select", "slim")])
 def test_sharded_emitter_checkpoint_roundtrip(alloc, layout, tmp_path):
     """Sharded emitter save/load facility parity with the n-body drivers
