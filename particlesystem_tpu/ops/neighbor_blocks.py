@@ -96,7 +96,13 @@ TS = None      # column-subtile width: compute ceil(hi/TS) subtiles per chunk
                # multiple of 128 (dynamic lane-dim slices need alignment).
 R_MAX = 24     # static neighbor-range slots per block
 C_MAX = 48     # static chunk slots per block
-_BIG = jnp.int32(1 << 30)
+# Python int, NOT jnp.int32: a module-level concrete jax scalar gets its
+# aval stamped with the first shard_map manual mesh that eagerly touches it
+# (jax 0.9), and `-_BIG` then fails trace under any OTHER mesh in the same
+# process ("context mesh should match the aval mesh", seen when the brick
+# parity test followed the slab one).  As a literal it re-enters each trace
+# fresh.
+_BIG = 1 << 30
 _IMIN = jnp.iinfo(jnp.int32).min
 
 
