@@ -23,11 +23,14 @@ per axis.  ``nbody_pencil`` is the 2-axis specialization of this scheme and
 ``nbody_sharded`` the 1-axis one; this module implements the general
 axis-loop form (set ``d1 = d2 = 1`` to degenerate to slabs).
 
-Same documented divergence as the slab/pencil paths: free slots — and
-therefore slot-derived collision-ordering ids — are per-device, so
-tie-breaks among particles reallocated after frame 0 can differ from the
-single-device trajectory.  Buffer overflow drops are counted, never
-silent; per-frame high-water marks (``halo_used_max``,
+Same cross-device-count divergence bound as the slab/pencil paths: free
+slots are per-device, but since round 4 slot placement no longer perturbs
+physics (collision ordering keys on persistent tags, randomness was
+always tag-keyed) — the remaining bound on EXACT trajectory comparison is
+float accumulation order (different row arrangements sum gravity in
+different orders; see the ``nbody_sharded`` module docstring and the
+measured horizon in tools/parity_horizon.py).  Buffer overflow drops are
+counted, never silent; per-frame high-water marks (``halo_used_max``,
 ``migration_used_max``) size buffers from measured occupancy.
 """
 
@@ -299,11 +302,11 @@ def make_brick_step(cfg: NBodyConfig, spec: BrickSpec, mesh: Mesh):
     return step_fn, shard_state
 
 
-def distribute(state: ParticleState, cfg: NBodyConfig, spec: BrickSpec
-               ) -> Tuple[ParticleState, int]:
-    """Reorder a global state so shard (a, b, c) holds exactly its brick's
-    particles (the invariant ``make_brick_step`` requires).  Host-side,
-    used on a fresh fill.  Returns (reordered state, n_dropped)."""
+def dest_np(pos, cfg: NBodyConfig, spec: BrickSpec):
+    """Owning LINEAR device index per row (host-side numpy) — the brick
+    invariant (shard ``(a, b, c)`` = linear ``(a * d1 + b) * d2 + c`` owns
+    the particle).  Shared by :func:`distribute` and the driver's
+    shard-local validate."""
     import numpy as np
 
     spec = spec.derive(cfg)
@@ -311,10 +314,6 @@ def distribute(state: ParticleState, cfg: NBodyConfig, spec: BrickSpec
     p3 = g.grid_dim // spec.d3
     p1 = g.grid_dim // spec.d1
     p2 = g.grid_dim // spec.d2
-    c_local = cfg.slots // spec.n_devices
-
-    pos = np.asarray(state.pos)
-    alive = np.asarray(state.alive)
     half = g.grid_dim // 2
     cs = np.float32(g.cell_size)
     i1 = np.floor(-pos[:, 1] / cs).astype(np.int64) + half
@@ -323,7 +322,21 @@ def distribute(state: ParticleState, cfg: NBodyConfig, spec: BrickSpec
     a = np.clip(i3 // p3, 0, spec.d3 - 1)
     b = np.clip(i1 // p1, 0, spec.d1 - 1)
     c = np.clip(i2 // p2, 0, spec.d2 - 1)
-    dest = (a * spec.d1 + b) * spec.d2 + c
+    return (a * spec.d1 + b) * spec.d2 + c
+
+
+def distribute(state: ParticleState, cfg: NBodyConfig, spec: BrickSpec
+               ) -> Tuple[ParticleState, int]:
+    """Reorder a global state so shard (a, b, c) holds exactly its brick's
+    particles (the invariant ``make_brick_step`` requires).  Host-side,
+    used on a fresh fill.  Returns (reordered state, n_dropped)."""
+    import numpy as np
+
+    spec = spec.derive(cfg)
+    c_local = cfg.slots // spec.n_devices
+
+    alive = np.asarray(state.alive)
+    dest = dest_np(np.asarray(state.pos), cfg, spec)
 
     out = {f: np.zeros_like(np.asarray(getattr(state, f)))
            for f in ("pos", "vel", "acc", "w", "age", "life", "alive",

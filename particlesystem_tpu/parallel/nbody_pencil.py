@@ -298,8 +298,16 @@ def make_pencil_step(cfg: NBodyConfig, spec: PencilSpec, mesh: Mesh):
                 parent=sset(st2.parent, imm[5]), tag=sset(st2.tag, imm[6]))
             return st3, dropped, used
 
-        out, drop3, used3 = migrate_axis(
-            out, ax3, spec.d3, a, lambda c: c[..., 2] // p3)
+        # axes of size 1 are statically skipped: their ring would be the
+        # identity permute and dest == (idx+1) % 1 would mark every alive
+        # particle as both staying and migrating — duplicating it (the d=1
+        # slab bug found on-chip in round 5); brick has the same guard
+        if spec.d3 > 1:
+            out, drop3, used3 = migrate_axis(
+                out, ax3, spec.d3, a, lambda c: c[..., 2] // p3)
+        else:
+            drop3 = jnp.int32(0)
+            used3 = jnp.int32(0)
         if spec.d1 > 1:
             out, drop1, used1 = migrate_axis(
                 out, ax1, spec.d1, b, lambda c: c[..., 0] // p1)
@@ -344,6 +352,26 @@ def make_pencil_step(cfg: NBodyConfig, spec: PencilSpec, mesh: Mesh):
     return step_fn, shard_state
 
 
+def dest_np(pos, cfg: NBodyConfig, spec: PencilSpec):
+    """Owning LINEAR device index per row (host-side numpy) — the pencil
+    invariant (shard ``(a, b)`` = linear ``a * d1 + b`` owns the particle).
+    Shared by :func:`distribute` and the driver's shard-local validate."""
+    import numpy as np
+
+    spec = spec.derive(cfg)
+    g = cfg.grid
+    p3 = g.grid_dim // spec.d3
+    p1 = g.grid_dim // spec.d1
+    half = g.grid_dim // 2
+    i1 = (np.floor(-pos[:, 1] / np.float32(g.cell_size)).astype(np.int64)
+          + half)
+    i3 = (np.floor(-pos[:, 2] / np.float32(g.cell_size)).astype(np.int64)
+          + half)
+    a = np.clip(i3 // p3, 0, spec.d3 - 1)
+    b = np.clip(i1 // p1, 0, spec.d1 - 1)
+    return a * spec.d1 + b
+
+
 def distribute(state: ParticleState, cfg: NBodyConfig, spec: PencilSpec
                ) -> Tuple[ParticleState, int]:
     """Reorder a global state so shard (a, b) holds exactly its pencil's
@@ -352,21 +380,10 @@ def distribute(state: ParticleState, cfg: NBodyConfig, spec: PencilSpec
     import numpy as np
 
     spec = spec.derive(cfg)
-    g = cfg.grid
-    p3 = g.grid_dim // spec.d3
-    p1 = g.grid_dim // spec.d1
     c_local = cfg.slots // spec.n_devices
 
-    pos = np.asarray(state.pos)
     alive = np.asarray(state.alive)
-    half = g.grid_dim // 2
-    i1 = (np.floor(-pos[:, 1] / np.float32(g.cell_size)).astype(np.int64)
-          + half)
-    i3 = (np.floor(-pos[:, 2] / np.float32(g.cell_size)).astype(np.int64)
-          + half)
-    a = np.clip(i3 // p3, 0, spec.d3 - 1)
-    b = np.clip(i1 // p1, 0, spec.d1 - 1)
-    dest = a * spec.d1 + b
+    dest = dest_np(np.asarray(state.pos), cfg, spec)
 
     out = {f: np.zeros_like(np.asarray(getattr(state, f)))
            for f in ("pos", "vel", "acc", "w", "age", "life", "alive",

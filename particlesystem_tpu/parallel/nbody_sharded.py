@@ -199,6 +199,25 @@ def make_sharded_step(cfg: NBodyConfig, spec: SlabSpec, mesh: Mesh):
             kill[:c_local], touch[:c_local], uvec, fert, frame, cfg)
 
         # ---- migration (cyclic: the torus wrap crosses the ring seam) ---
+        # d_count == 1 owns every plane: the ring would be the identity
+        # permute and `dest == (d+1) % 1` would mark EVERY alive particle
+        # as both staying and migrating — duplicating it into free slots —
+        # so the whole exchange is statically skipped (one device needs no
+        # migration, exactly like the single-chip step)
+        if d_count == 1:
+            psum1 = lambda v: jax.lax.psum(v, ax)
+            stats = {k: psum1(v) for k, v in counts.items()}
+            stats["n_alive"] = psum1(jnp.sum(out.alive.astype(jnp.int32)))
+            stats["halo_dropped"] = psum1(ldrop + rdrop)
+            stats["halo_used_max"] = jax.lax.pmax(jnp.maximum(
+                jnp.sum(lmask.astype(jnp.int32)),
+                jnp.sum(rmask.astype(jnp.int32))), ax)
+            stats["migration_used_max"] = jnp.int32(0)
+            stats["n_listed_dropped"] = psum1(listed_dropped)
+            stats["migration_dropped"] = jnp.int32(0)
+            stats["max_cell_occupancy"] = jax.lax.pmax(max_cell, ax)
+            return out, stats
+
         _, coords_n = wrap_positions(out.pos, g)
         dest = coords_n[..., 2] // planes
         stay = ~out.alive | (dest == d)

@@ -40,10 +40,12 @@ def make_mesh(d3, d1, d2):
 
 @pytest.mark.parametrize("impl", ["dense", "blocks"])
 def test_brick_matches_single_device(impl):
-    """3-frame exact-identity window (same as the pencil test, same
-    reallocated-id caveat documented in the module docstring): tags must
-    match exactly, trajectories to float tolerance, with real 3D corner
-    interactions and migrations occurring."""
+    """7-frame exact-identity window — sized from the MEASURED horizon
+    (tools/parity_horizon.py: first tag-multiset mismatch at frame 10 for
+    this seed-11 config, so 3 frames of margin; r4's window was 3).  Tags
+    must match exactly, trajectories to float tolerance, with real 3D
+    corner interactions and migrations occurring; the bound is float
+    accumulation order only (see the module docstring)."""
     mesh = make_mesh(2, 2, 2)
     spec = BrickSpec(d3=2, d1=2, d2=2, impl=impl)
 
@@ -56,7 +58,7 @@ def test_brick_matches_single_device(impl):
     ss = sharded_init  # single-device run on the same slot arrangement
 
     total_kills = total_spawns = 0
-    for frame in range(3):
+    for frame in range(7):
         ms, stats = step_fn(ms, jnp.int32(frame))
         uvec, fert = nbody.frame_fields(CFG, jnp.int32(frame), ss.tag)
         ss, sstats = nbody.step_fields(ss, uvec, fert, jnp.int32(frame), CFG)

@@ -41,15 +41,15 @@ def make_mesh(d3, d1):
     (4, 2, "dense"), (2, 4, "dense"), (4, 2, "blocks"),
 ])
 def test_pencil_matches_single_device(d3, d1, impl):
-    """3-frame exact-identity window (the slab test uses 4): tags must match
-    exactly, trajectories to float tolerance, with real corner interactions
-    occurring.  The window is one frame shorter than the slab's because the
-    2-axis decomposition migrates more particles per frame, and migrants are
-    REALLOCATED to per-device slots — their slot-derived collision-ordering
-    ids change, so a later collision between a migrant and a near-id particle
-    can flip which one survives relative to the single-device run (verified:
-    frame-3 divergence is a handful of tag flips with event counts still
-    exactly equal).  Documented divergence, see the module docstring."""
+    """7-frame exact-identity window — sized from the MEASURED horizon
+    (tools/parity_horizon.py: first tag-multiset mismatch at frame 10/12/8
+    over seeds 11/23/37; this config is seed 11, so 3 frames of margin;
+    r4's window was 3).  Tags must match exactly, trajectories to float
+    tolerance, with real corner interactions occurring.  Since round 4
+    collision ordering keys on persistent tags, migrant slot reallocation
+    cannot flip outcomes — the horizon (within one frame of the slab's)
+    is set purely by float accumulation order, see the module
+    docstring."""
     mesh = make_mesh(d3, d1)
     spec = PencilSpec(d3=d3, d1=d1, impl=impl)
 
@@ -62,7 +62,7 @@ def test_pencil_matches_single_device(d3, d1, impl):
     ss = sharded_init  # single-device run on the same slot arrangement
 
     total_kills = total_spawns = 0
-    for frame in range(3):
+    for frame in range(7):
         ms, stats = step_fn(ms, jnp.int32(frame))
         uvec, fert = nbody.frame_fields(CFG, jnp.int32(frame), ss.tag)
         ss, sstats = nbody.step_fields(ss, uvec, fert, jnp.int32(frame), CFG)
@@ -115,6 +115,34 @@ def test_pencil_degenerates_to_slab():
         a, ta = alive_rows(mp)
         b, tb = alive_rows(msl)
         np.testing.assert_array_equal(np.sort(ta), np.sort(tb))
+
+
+def test_pencil_degenerate_d3_no_duplication():
+    """d3=1 regression (the round-5 d=1 slab bug, same mechanism): an
+    unguarded size-1 migration ring is the identity permute and marks
+    every alive particle as both staying and migrating — duplicating it.
+    A (1, 8) pencil must track the single-device trajectory with zero
+    migration drops along the dead axis."""
+    devs = np.array(jax.devices()).reshape(1, 8)
+    mesh = jax.sharding.Mesh(devs, ("x", "y"))
+    spec = PencilSpec(d3=1, d1=8)
+
+    init = nbody.init_fill(CFG)
+    p_init, dropped = distribute(init, CFG, spec)
+    assert dropped == 0
+    p_step, p_shard = make_pencil_step(CFG, spec, mesh)
+    mp = p_shard(p_init)
+    ss = p_init
+    for frame in range(4):
+        mp, pstats = p_step(mp, jnp.int32(frame))
+        uvec, fert = nbody.frame_fields(CFG, jnp.int32(frame), ss.tag)
+        ss, sstats = nbody.step_fields(ss, uvec, fert, jnp.int32(frame), CFG)
+        assert int(pstats["n_alive"]) == int(sstats.n_alive), frame
+        assert int(pstats["migration_dropped"]) == 0
+        a, ta = alive_rows(mp)
+        b, tb = alive_rows(ss)
+        np.testing.assert_array_equal(np.sort(ta), np.sort(tb),
+                                      err_msg=f"frame {frame}")
 
 
 def test_pencil_long_horizon_invariants():
