@@ -430,6 +430,16 @@ class NBodySimulation:
         ``run(batch=k)`` / ``run(batch=1)``+``validate()`` per process."""
         if batch == 0:
             batch = auto_batch(num_iterations)
+            # on single-Pallas-shape platforms the first dispatched loop
+            # shape pins the process (_claim_shape): auto-resolution
+            # PREFERS the claimed batch size when it divides the request,
+            # so repeated plain run() calls keep working after a reload
+            if (self.impl == "blocks"
+                    and isinstance(self._pallas_shape, tuple)
+                    and self._pallas_shape
+                    and self._pallas_shape[0] == "loop"
+                    and num_iterations % self._pallas_shape[1] == 0):
+                batch = self._pallas_shape[1]
         if batch > 1:
             return self._run_batched(num_iterations, batch, verbose)
         for _ in range(num_iterations):

@@ -136,8 +136,13 @@ def save_sharded(path: str, tree, meta: dict | None = None) -> None:
             os.unlink(stale_meta)
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
-        # nobody writes until process 0 has cleared stale files
-        multihost_utils.sync_global_devices("pstpu_ckpt_clear:" + path)
+        # nobody writes until process 0 has cleared stale files.  The
+        # barrier name must NOT embed the path: processes may legitimately
+        # spell the same shared directory differently (symlinks, mount
+        # points), and sync_global_devices asserts name equality — a
+        # mismatched-path failure here would mask the real error (the
+        # shared-filesystem requirement), which load reports clearly
+        multihost_utils.sync_global_devices("pstpu_ckpt_clear")
     arrays, chunk_meta = {}, []
     for i, leaf in enumerate(leaves):
         shape = tuple(np.shape(leaf))
@@ -167,7 +172,7 @@ def save_sharded(path: str, tree, meta: dict | None = None) -> None:
                            leaves=chunk_meta), f)
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
-        multihost_utils.sync_global_devices("pstpu_ckpt_save:" + path)
+        multihost_utils.sync_global_devices("pstpu_ckpt_save")
 
 
 def _read_sharded_meta(path: str, expect_config=None) -> dict:

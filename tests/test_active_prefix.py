@@ -95,7 +95,10 @@ def test_frozen_prefix_platform_mode(monkeypatch):
     a.run(4)
     b.run(4)
     assert a._active == want0  # never re-bucketed
-    assert len(a._step_jits) == 1  # ONE step program shape dispatched
+    # ONE program shape dispatched for the whole run: default run() now
+    # auto-batches (batch=0), so the shape is the batched loop, not the
+    # per-frame step
+    assert len(a._loop_jits) == 1 and not a._step_jits
     for k in ("n_alive", "n_collision_kills", "n_spawned"):
         assert int(getattr(a.last_stats, k)) == int(getattr(b.last_stats, k))
     m = np.asarray(a.state.alive)
@@ -114,7 +117,13 @@ def test_frozen_prefix_platform_mode(monkeypatch):
         a.save(p)
         a.load(p)
         assert a._active == want0
-        a.run(2)
+        a.run(4)  # batch=0 auto-resolution reuses the claimed loop shape
+        assert len(a._loop_jits) == 1
+        # an indivisible run would need a SECOND loop shape: refused
+        # loudly instead of wedging the TPU client (utils/dispatchbug.py)
+        import pytest
+        with pytest.raises(RuntimeError, match="one batch size"):
+            a.run(2)
 
 
 def test_prefix_saturation_reports_spawn_cap():

@@ -68,14 +68,18 @@ def _run_workers(decomp: str):
 
     # the unified driver crossed the process boundary too: gather() rode
     # process_allgather (both processes see the identical global state),
-    # validate() matched the oracle, save() wrote a checkpoint
+    # validate() matched the oracle SHARD-LOCALLY (each process checks its
+    # own shards, so max_dev is per-process — bounded, not equal), save()
+    # wrote a checkpoint
     drv = [json.loads(l[7:]) for o in outs for l in o.splitlines()
            if l.startswith("DRIVER ")]
     assert len(drv) == 2
-    assert drv[0] == drv[1]
-    assert drv[0]["events_match"]
-    assert drv[0]["max_dev"] < 1e-3
-    assert drv[0]["alive"] > 0
+    for d in drv:
+        assert d["events_match"]
+        assert d["max_dev"] < 1e-3
+        assert d["alive"] > 0
+    assert drv[0]["alive"] == drv[1]["alive"]
+    assert drv[0]["digest"] == drv[1]["digest"]
 
     # sharded checkpoint crossed the process boundary: each process wrote
     # only its own shards (about half the global bytes), streamed them back
