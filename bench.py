@@ -123,13 +123,12 @@ def bench_capacity(capacity: int, k_short: int = 16, k_long: int = 112,
 
 def bench_nbody_warm(n_fill: int, grid_dim: int, frames: int, path: str):
     """Phase 1 of the two-process n-body bench: run the initial-collapse
-    frames through the production driver (frozen fill-sized prefix — the
-    only Pallas shape this process dispatches) and checkpoint the plateau
+    frames through the production driver and checkpoint the plateau
     state.  The measuring process reloads it fresh and gets the
-    plateau-sized prefix (``api.NBodySimulation.load`` re-picks before the
-    first step) — the documented production flow for right-sizing a
-    long-running sim on this single-Pallas-shape-per-process platform
-    (utils/dispatchbug.py)."""
+    plateau-sized prefix (``api.NBodySimulation.load`` + the first
+    ``run`` re-pick it) — the same numbers the containment-era flow
+    produced, now with dynamic re-bucketing also available in-process
+    (round-5 gate flip, utils/dispatchbug.py)."""
     from particlesystem_tpu.api import NBodySimulation
     from particlesystem_tpu.core.config import GridSpec, NBodyConfig
 
@@ -150,10 +149,11 @@ def bench_nbody(n_fill: int = 1 << 20, grid_dim: int = 16,
     back-to-back dispatches (async enqueue pipelines them; one sync at the
     end) cancels it (NOTES.md measurement gotchas; per-frame sync timing
     would overstate a 1M frame by ~25%).  ONE (k+1)-frame loop program is
-    the ONLY Pallas-bearing shape this process ever dispatches: on this
-    platform the second dispatch of a second Pallas shape wedges the TPU
-    client (utils/dispatchbug.py), so the bench mirrors the production
-    driver exactly.  With ``ckpt`` (the two-process flow, see
+    the ONLY Pallas-bearing shape this process dispatches — a structure
+    kept from the single-Pallas-shape containment era (the round-5 root-
+    cause fix made multiple shapes safe, utils/dispatchbug.py) because it
+    also keeps each measurement's compile set minimal and isolated.  With
+    ``ckpt`` (the two-process flow, see
     ``bench_nbody_warm``) the prefix is re-picked from the loaded plateau
     population (786k/2.10M rows at 1M, 4.98M/20.97M at 10M) exactly as
     ``api.load`` does for any user; without it the prefix is sized from
@@ -169,8 +169,9 @@ def bench_nbody(n_fill: int = 1 << 20, grid_dim: int = 16,
         if sim._frozen_active:
             state, frame0, active = sim.state, sim.frame, sim._active
         else:
-            # backend allows re-bucketing mid-process (CPU, or TPU with
-            # PSTPU_MULTI_PALLAS=1): load() defers the prefix pick to
+            # backend allows re-bucketing mid-process (the default since
+            # the round-5 gate flip; also PSTPU_SINGLE_PALLAS unset on
+            # CPU): load() defers the prefix pick to
             # run(), which this bench bypasses — mirror it here so the
             # plateau measurement never silently runs at full slot width
             state = jax.jit(nbody.compact_state)(sim.state)
@@ -305,13 +306,13 @@ def run_stage(name: str, args):
 
 
 def _stage_in_subprocess(name: str, *args: str, budget: float | None = None):
-    """One bench stage per process: the jax-0.9 dispatch-cache bug poisons
-    re-dispatch of NEW jit signatures once several Pallas-bearing programs
-    coexist (tools/repro_jax_dispatch_bug.py), and the stages compile
-    ~10 signatures between them.  ``budget``: wall-clock seconds for the
-    stage; on expiry the subprocess is killed and RuntimeError raised —
-    one slow stage (e.g. a cold compile relay) can no longer forfeit the
-    whole artifact (VERDICT r4 weak #1)."""
+    """One bench stage per process.  Historically mandatory (the jax-0.9
+    dispatch-cache bug, fixed at its root in round 5 — utils/dispatchbug
+    .py); kept because per-stage processes also give each measurement an
+    isolated, minimal compile set and let ``budget`` bound it: wall-clock
+    seconds for the stage; on expiry the subprocess is killed and
+    RuntimeError raised — one slow stage (e.g. a cold compile relay) can
+    no longer forfeit the whole artifact (VERDICT r4 weak #1)."""
     import subprocess
 
     try:

@@ -34,6 +34,30 @@ retry on real errors, which beats silently letting the flake through.
 
 TODO(jax>0.9): delete this module (and its call sites) once
 ``tools/repro_jax_dispatch_bug.py`` prints OK on the installed jax.
+
+ROOT CAUSE FOUND + FIXED (round 5, 2026-08-21): the poison was OUR
+module-level concrete jax scalar ``_BIG = jnp.int32(1 << 30)`` in
+``ops/neighbor_blocks.py`` — a module-level jax array captured as a
+constant by every traced program, whose aval gets stamped by the first
+mesh/program that touches it (the same mechanism 38c82ae found breaking
+cross-mesh traces).  With it replaced by a Python int (38c82ae):
+
+* ``tools/repro_jax_dispatch_bug.py`` prints OK (CPU),
+* ``tools/probe_multi_shape_1m.py`` — the production-scale probe that
+  deterministically WEDGED the axon client on 2026-08-18 — now SURVIVES
+  60 frames across 4 Pallas program shapes on the real chip with the
+  bit-exact alive sequence (2026-08-21), enabling dynamic re-bucketing
+  on TPU.
+
+:func:`multi_pallas_shapes_safe` therefore now returns True everywhere;
+``PSTPU_SINGLE_PALLAS=1`` is the kill-switch that restores the frozen
+single-shape containment if the wedge ever resurfaces (it was
+platform-state-dependent historically — small-scale probes passed while
+1M wedged — so the avoidance machinery stays one env var away).
+:func:`recovering_call` remains as cheap last-line insurance: one
+``jax.clear_caches()`` + retry on a dispatch-layer error, re-raising
+real errors identically.  The canary test now watches for REGRESSION
+(tests/test_dispatchbug_canary.py).
 """
 
 from __future__ import annotations
@@ -48,14 +72,14 @@ _RECOVERABLE = (IndexError, ValueError, jax.errors.JaxRuntimeError)
 
 def multi_pallas_shapes_safe() -> bool:
     """Whether this process may dispatch MORE THAN ONE Pallas-bearing
-    program shape repeatedly.  False on the TPU backend (the jax-0.9
-    dispatch-cache bug wedges the axon client on the second dispatch of a
-    second Pallas shape — see module docstring); True on CPU, where the
-    bug's surfaces are transient and :func:`recovering_call` contains
-    them.  Override with ``PSTPU_MULTI_PALLAS=1`` to probe a fixed jax."""
-    if os.environ.get("PSTPU_MULTI_PALLAS") == "1":
-        return True
-    return jax.default_backend() != "tpu"
+    program shape repeatedly.  True since round 5: the wedge's root cause
+    (a module-level concrete jax scalar shared across traces) was fixed in
+    38c82ae and the production-scale probe now survives on the real chip
+    — see module docstring.  ``PSTPU_SINGLE_PALLAS=1`` restores the
+    frozen single-shape containment as a kill-switch."""
+    if os.environ.get("PSTPU_SINGLE_PALLAS") == "1":
+        return False
+    return True
 
 
 def recovering_call(fn, *args, **kwargs):

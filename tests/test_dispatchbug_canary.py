@@ -1,21 +1,25 @@
-"""Canary for the jax-0.9 dispatch-cache bug containment (VERDICT r3 #6).
+"""Regression canary for the jax-0.9 dispatch-cache bug (VERDICT r3 #6).
 
-The containment (``utils/dispatchbug.py``: recovering_call, the
-single-Pallas-shape gate, the frozen active prefix) exists ONLY because
-``tools/repro_jax_dispatch_bug.py`` reproduces on the installed jax.  These
-tests bind the two together: a jax upgrade that fixes the bug makes the
-repro print OK, which FAILS the canary and triggers the deletion procedure
-(NOTES.md "dispatch-bug deletion procedure").  Until then, the two-shape
-probe pins that ``multi_pallas_shapes_safe()``'s answer for this backend is
-actually true — on CPU, two Pallas-bearing shapes must be re-dispatchable
-under ``recovering_call``.
+History: the containment (``utils/dispatchbug.py``: recovering_call, the
+single-Pallas-shape gate, the frozen active prefix) existed because
+``tools/repro_jax_dispatch_bug.py`` reproduced on the installed jax and the
+production-scale probe (``tools/probe_multi_shape_1m.py``) wedged the real
+TPU client.  Round 5 found and fixed the ROOT CAUSE — a module-level
+concrete jax scalar in ``ops/neighbor_blocks.py`` shared as a constant
+across traces (38c82ae) — after which the repro prints OK and the
+production probe survives 60 frames across 4 Pallas shapes on the chip.
+``multi_pallas_shapes_safe()`` now defaults to True with the
+``PSTPU_SINGLE_PALLAS=1`` kill-switch.
+
+These tests WATCH FOR REGRESSION: if the repro ever reproduces again (a
+jax change, or someone reintroducing a module-level jax-array constant
+into kernel code), the canary fails and points at the kill-switch + the
+containment re-enable notes in utils/dispatchbug.py.
 """
 
 import os
 import subprocess
 import sys
-
-import pytest
 
 from particlesystem_tpu.utils.dispatchbug import multi_pallas_shapes_safe
 
@@ -29,22 +33,35 @@ def _child_env():
     return env
 
 
-def test_repro_still_reproduces_else_delete_containment():
+def test_repro_stays_fixed():
+    """The minimal two-signature repro must keep printing OK.  If this
+    fails, the dispatch-cache corruption is BACK: set
+    ``PSTPU_SINGLE_PALLAS=1`` to restore the frozen single-shape
+    containment, then hunt for a reintroduced module-level jax-array
+    constant in traced code (the round-5 root cause) or a jax change."""
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools",
                                       "repro_jax_dispatch_bug.py")],
         capture_output=True, text=True, env=_child_env(), cwd=REPO,
         timeout=600)
-    if proc.returncode == 0 and "OK" in proc.stdout:
-        pytest.fail(
-            "tools/repro_jax_dispatch_bug.py printed OK — the jax "
-            "dispatch-cache bug is FIXED on this jax. Run the deletion "
-            "procedure (NOTES.md 'dispatch-bug deletion procedure'): drop "
-            "utils/dispatchbug.py, the recovering_call sites, the frozen "
-            "active prefix and the per-process bench/profile subprocess "
-            "splits, then delete this canary.")
-    # bug still present: the containment stays
-    assert proc.returncode != 0
+    assert proc.returncode == 0 and "OK" in proc.stdout, (
+        "tools/repro_jax_dispatch_bug.py REPRODUCES again — the dispatch-"
+        "cache corruption is back. Set PSTPU_SINGLE_PALLAS=1 (restores the "
+        "frozen single-shape containment, utils/dispatchbug.py) and check "
+        "for a reintroduced module-level jax-array constant in kernel "
+        f"code:\n{proc.stderr[-2000:]}")
+
+
+def test_kill_switch_restores_containment():
+    """PSTPU_SINGLE_PALLAS=1 must flip the gate back off — the containment
+    machinery (frozen prefix, claim ledger, autosize refusal) is dormant,
+    not deleted, and this is the wire that re-arms it."""
+    assert multi_pallas_shapes_safe()
+    os.environ["PSTPU_SINGLE_PALLAS"] = "1"
+    try:
+        assert not multi_pallas_shapes_safe()
+    finally:
+        del os.environ["PSTPU_SINGLE_PALLAS"]
 
 
 _PROBE = """
@@ -70,10 +87,9 @@ print("TWO-SHAPE-OK")
 
 def test_two_shape_probe_matches_safe_answer():
     """``multi_pallas_shapes_safe()`` promises this backend can re-dispatch
-    two Pallas-bearing shapes (with recovering_call absorbing the one
-    poisoned dispatch per switch).  Verify the promise in a clean
-    subprocess; if this starts failing on CPU, the containment gate is
-    WRONG for this backend and the frozen-prefix mode must extend to it."""
+    two Pallas-bearing shapes.  Verify the promise in a clean subprocess;
+    a mismatch in either direction means the gate answers wrong for this
+    backend."""
     safe = multi_pallas_shapes_safe()
     proc = subprocess.run(
         [sys.executable, "-c", _PROBE], capture_output=True, text=True,

@@ -33,6 +33,16 @@ resource-dependent, not purely shape-keyed; the fixed-kernel-width plan
 does NOT transfer to 1M.  Conclusion: ``multi_pallas_shapes_safe()``
 stays False on TPU and the driver keeps the frozen-prefix design.
 Checkpoint + reload in a fresh process remains the supported re-bucket.
+
+RESULT (2026-08-21, v5e axon relay, SAME jax 0.9.0, after 38c82ae replaced
+the module-level ``jnp.int32`` kernel constant with a Python literal):
+SURVIVED 60 frames, 4 program shapes (buckets 0 -> 1310720 -> 786432 ->
+524288), alive sequence bit-matching the frozen-prefix bench at the
+crossover frames (361108 at frame 32, 368866 at frame 19).  The
+module-level concrete jax scalar was the root cause; dynamic re-bucketing
+is enabled on TPU (``multi_pallas_shapes_safe()`` True,
+``PSTPU_SINGLE_PALLAS=1`` kill-switch) — see NOTES.md dispatch-bug
+section and utils/dispatchbug.py.
 """
 
 import os
@@ -44,8 +54,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.dirname(
                           os.path.abspath(__file__))), ".jax_cache"))
-if "--frozen" not in sys.argv:
-    os.environ["PSTPU_MULTI_PALLAS"] = "1"
+if "--frozen" in sys.argv:
+    # re-arm the frozen single-shape containment for the reference run
+    os.environ["PSTPU_SINGLE_PALLAS"] = "1"
+else:
+    os.environ.pop("PSTPU_SINGLE_PALLAS", None)  # dynamic (the default)
 
 import jax  # noqa: E402
 
