@@ -36,7 +36,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
 
 
-def _phase_driver(ckpt: str, batch: int = 16, reps: int = 2):
+def _phase_driver(ckpt: str, batch: int = 16, reps: int = 3):
     import jax
 
     cache = os.path.join(REPO, ".jax_cache")
@@ -53,6 +53,12 @@ def _phase_driver(ckpt: str, batch: int = 16, reps: int = 2):
     cfg = NBodyConfig(n_fill=1 << 20, grid=GridSpec(grid_dim=16))
     sim = NBodySimulation(cfg, impl="blocks")
     sim.load(ckpt)
+    # load() defers the prefix pick to run() (dynamic re-bucketing is the
+    # default since the round-5 gate flip) — apply it NOW through the
+    # production mechanism so every measured rep runs at the plateau
+    # prefix the bench slope uses, not a full-width first batch
+    alive = int(np.asarray(sim.state.alive).sum())
+    sim._apply_bucketing(alive)
     # warm the batch loop program WITHOUT advancing the sim: one discarded
     # dispatch compiles it (the measurement below then stays inside the
     # initial-cohort plateau window, frames < ~35 at 1M — NOTES.md)
@@ -102,7 +108,8 @@ def main():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 2 and sys.argv[1] == "--phase":
-        _phase_driver(sys.argv[2])
+    if len(sys.argv) > 3 and sys.argv[1] == "--phase" \
+            and sys.argv[2] == "driver":
+        _phase_driver(sys.argv[3])
     else:
         main()
