@@ -127,31 +127,43 @@ def make_sharded_step(cfg: NBodyConfig, spec: SlabSpec, mesh: Mesh):
         pos_w, coords = wrap_positions(state.pos, g)
         i3 = coords[..., 2]
 
-        # ---- halo exchange (non-cyclic: the stencil does not wrap) ------
         gids = d * c_local + jnp.arange(c_local, dtype=jnp.int32)
-        lmask = state.alive & (i3 == base_plane)
-        rmask = state.alive & (i3 == base_plane + planes - 1)
-        lpos, lage, lw, lgid, ltag, lvalid, ldrop = _pack_rows(
-            lmask, h, pos_w, state.age, state.w, gids, state.tag)
-        rpos, rage, rw, rgid, rtag, rvalid, rdrop = _pack_rows(
-            rmask, h, pos_w, state.age, state.w, gids, state.tag)
+        if d_count == 1:
+            # one device owns every plane: the halo exchange would pack
+            # two boundary planes (two masked compactions over the whole
+            # shard) and append 2*h inert rows through the binning sort,
+            # only for the empty-perm ppermute to deliver all-invalid
+            # rows.  Statically skip it, like the migration ring below —
+            # measured 204 -> 75 ms/frame on the chip at 1M (NOTES r5)
+            pos0, age0, w0 = pos_w, state.age, state.w
+            ids0, tags0, valid0 = gids, state.tag, state.alive
+            lmask = rmask = None
+            ldrop = rdrop = jnp.int32(0)
+        else:
+            # ---- halo exchange (non-cyclic: the stencil does not wrap) --
+            lmask = state.alive & (i3 == base_plane)
+            rmask = state.alive & (i3 == base_plane + planes - 1)
+            lpos, lage, lw, lgid, ltag, lvalid, ldrop = _pack_rows(
+                lmask, h, pos_w, state.age, state.w, gids, state.tag)
+            rpos, rage, rw, rgid, rtag, rvalid, rdrop = _pack_rows(
+                rmask, h, pos_w, state.age, state.w, gids, state.tag)
 
-        to_right = [(i, i + 1) for i in range(d_count - 1)]
-        to_left = [(i, i - 1) for i in range(1, d_count)]
-        pr = lambda x, perm: jax.lax.ppermute(x, ax, perm)
-        # my right plane -> right neighbor's left halo; and vice versa
-        halo_l = tuple(pr(x, to_right)
-                       for x in (rpos, rage, rw, rgid, rtag, rvalid))
-        halo_r = tuple(pr(x, to_left)
-                       for x in (lpos, lage, lw, lgid, ltag, lvalid))
+            to_right = [(i, i + 1) for i in range(d_count - 1)]
+            to_left = [(i, i - 1) for i in range(1, d_count)]
+            pr = lambda x, perm: jax.lax.ppermute(x, ax, perm)
+            # my right plane -> right neighbor's left halo; and vice versa
+            halo_l = tuple(pr(x, to_right)
+                           for x in (rpos, rage, rw, rgid, rtag, rvalid))
+            halo_r = tuple(pr(x, to_left)
+                           for x in (lpos, lage, lw, lgid, ltag, lvalid))
 
-        # ---- extended-slab binning --------------------------------------
-        pos0 = jnp.concatenate([pos_w, halo_l[0], halo_r[0]])
-        age0 = jnp.concatenate([state.age, halo_l[1], halo_r[1]])
-        w0 = jnp.concatenate([state.w, halo_l[2], halo_r[2]])
-        ids0 = jnp.concatenate([gids, halo_l[3], halo_r[3]])
-        tags0 = jnp.concatenate([state.tag, halo_l[4], halo_r[4]])
-        valid0 = jnp.concatenate([state.alive, halo_l[5], halo_r[5]])
+            # ---- extended-slab binning ----------------------------------
+            pos0 = jnp.concatenate([pos_w, halo_l[0], halo_r[0]])
+            age0 = jnp.concatenate([state.age, halo_l[1], halo_r[1]])
+            w0 = jnp.concatenate([state.w, halo_l[2], halo_r[2]])
+            ids0 = jnp.concatenate([gids, halo_l[3], halo_r[3]])
+            tags0 = jnp.concatenate([state.tag, halo_l[4], halo_r[4]])
+            valid0 = jnp.concatenate([state.alive, halo_l[5], halo_r[5]])
 
         c_all = cell_coords(pos0, g)  # halo positions are already wrapped
         lp = c_all[:, 2] - (base_plane - 1)            # local plane: halos 0 / P+1
@@ -209,9 +221,7 @@ def make_sharded_step(cfg: NBodyConfig, spec: SlabSpec, mesh: Mesh):
             stats = {k: psum1(v) for k, v in counts.items()}
             stats["n_alive"] = psum1(jnp.sum(out.alive.astype(jnp.int32)))
             stats["halo_dropped"] = psum1(ldrop + rdrop)
-            stats["halo_used_max"] = jax.lax.pmax(jnp.maximum(
-                jnp.sum(lmask.astype(jnp.int32)),
-                jnp.sum(rmask.astype(jnp.int32))), ax)
+            stats["halo_used_max"] = jnp.int32(0)  # no halo exists at d=1
             stats["migration_used_max"] = jnp.int32(0)
             stats["n_listed_dropped"] = psum1(listed_dropped)
             stats["migration_dropped"] = jnp.int32(0)
