@@ -139,34 +139,45 @@ def make_pencil_step(cfg: NBodyConfig, spec: PencilSpec, mesh: Mesh):
         gids = d_lin * c_local + jnp.arange(c_local, dtype=jnp.int32)
 
         # ---- halo phase 1: i3 faces along the "x" axis (non-cyclic) ------
-        lmask = state.alive & (i3 == base3)
-        rmask = state.alive & (i3 == base3 + p3 - 1)
-        lpack = _pack_rows(lmask, h3, pos_w, state.age, state.w, gids,
-                           state.tag)
-        rpack = _pack_rows(rmask, h3, pos_w, state.age, state.w, gids,
-                           state.tag)
+        # statically skipped when one device spans i3 (same guard as the
+        # size-1 migration axes and slab d=1: packing faces for an
+        # empty-perm ppermute costs two whole-shard compactions + 2*h3
+        # inert rows through the binning sort — measured 204 -> 75 ms at
+        # slab d=1 on chip, NOTES r5)
+        if spec.d3 > 1:
+            lmask = state.alive & (i3 == base3)
+            rmask = state.alive & (i3 == base3 + p3 - 1)
+            lpack = _pack_rows(lmask, h3, pos_w, state.age, state.w, gids,
+                               state.tag)
+            rpack = _pack_rows(rmask, h3, pos_w, state.age, state.w, gids,
+                               state.tag)
 
-        fwd3 = [(i, i + 1) for i in range(spec.d3 - 1)]
-        bwd3 = [(i, i - 1) for i in range(1, spec.d3)]
-        pr3 = lambda x, perm: jax.lax.ppermute(x, ax3, perm)
-        halo_from_left = tuple(pr3(x, fwd3) for x in rpack[:-1])
-        halo_from_right = tuple(pr3(x, bwd3) for x in lpack[:-1])
-        halo_drop = lpack[-1] + rpack[-1]
-        halo_used = jnp.maximum(jnp.sum(lmask.astype(jnp.int32)),
-                                jnp.sum(rmask.astype(jnp.int32)))
+            fwd3 = [(i, i + 1) for i in range(spec.d3 - 1)]
+            bwd3 = [(i, i - 1) for i in range(1, spec.d3)]
+            pr3 = lambda x, perm: jax.lax.ppermute(x, ax3, perm)
+            halo_from_left = tuple(pr3(x, fwd3) for x in rpack[:-1])
+            halo_from_right = tuple(pr3(x, bwd3) for x in lpack[:-1])
+            halo_drop = lpack[-1] + rpack[-1]
+            halo_used = jnp.maximum(jnp.sum(lmask.astype(jnp.int32)),
+                                    jnp.sum(rmask.astype(jnp.int32)))
 
-        ext1_pos = jnp.concatenate([pos_w, halo_from_left[0],
-                                    halo_from_right[0]])
-        ext1_age = jnp.concatenate([state.age, halo_from_left[1],
-                                    halo_from_right[1]])
-        ext1_w = jnp.concatenate([state.w, halo_from_left[2],
-                                  halo_from_right[2]])
-        ext1_gid = jnp.concatenate([gids, halo_from_left[3],
-                                    halo_from_right[3]])
-        ext1_tag = jnp.concatenate([state.tag, halo_from_left[4],
-                                    halo_from_right[4]])
-        ext1_valid = jnp.concatenate([state.alive, halo_from_left[5],
-                                      halo_from_right[5]])
+            ext1_pos = jnp.concatenate([pos_w, halo_from_left[0],
+                                        halo_from_right[0]])
+            ext1_age = jnp.concatenate([state.age, halo_from_left[1],
+                                        halo_from_right[1]])
+            ext1_w = jnp.concatenate([state.w, halo_from_left[2],
+                                      halo_from_right[2]])
+            ext1_gid = jnp.concatenate([gids, halo_from_left[3],
+                                        halo_from_right[3]])
+            ext1_tag = jnp.concatenate([state.tag, halo_from_left[4],
+                                        halo_from_right[4]])
+            ext1_valid = jnp.concatenate([state.alive, halo_from_left[5],
+                                          halo_from_right[5]])
+        else:
+            ext1_pos, ext1_age, ext1_w = pos_w, state.age, state.w
+            ext1_gid, ext1_tag, ext1_valid = gids, state.tag, state.alive
+            halo_drop = jnp.int32(0)
+            halo_used = jnp.int32(0)
 
         # ---- halo phase 2: i1 faces of the EXTENDED set along "y" --------
         # forwarding received i3-halo rows delivers the corner cells
